@@ -1,0 +1,83 @@
+"""Watershed on tiny volumes with hand-computed labelings (SURVEY.md §4.1)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.ops import ascent_labels, flood_labels, size_filter, watershed
+
+
+def _two_blob_maps(shape=(16, 16, 16), c1=(5, 5, 5), c2=(5, 5, 11), sigma=2.5):
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    g1 = np.exp(-((zz - c1[0]) ** 2 + (yy - c1[1]) ** 2 + (xx - c1[2]) ** 2) / (2 * sigma**2))
+    g2 = np.exp(-((zz - c2[0]) ** 2 + (yy - c2[1]) ** 2 + (xx - c2[2]) ** 2) / (2 * sigma**2))
+    peak = np.maximum(g1, g2)
+    fg = (g1 + g2) > 0.25
+    return peak, fg, c1, c2
+
+
+def test_watershed_splits_touching_blobs():
+    peak, fg, c1, c2 = _two_blob_maps()
+    lab = np.asarray(
+        watershed(jnp.asarray(fg.astype(np.float32)), jnp.asarray(peak),
+                  peak_threshold=0.5, fg_threshold=0.5)
+    )
+    l1, l2 = lab[c1], lab[c2]
+    assert l1 > 0 and l2 > 0 and l1 != l2
+    assert len(np.unique(lab[lab > 0])) == 2
+    # every fg voxel got a label (absorption flood worked)
+    assert (lab[fg] > 0).all()
+    # boundary between instances falls at the valley plane x=8
+    assert (lab[:, :, :8][fg[:, :, :8]] == l1).all()
+    assert (lab[:, :, 9:][fg[:, :, 9:]] == l2).all()
+
+
+def test_flood_and_ascent_agree_on_separated_blobs():
+    peak, fg, c1, c2 = _two_blob_maps(c1=(4, 4, 4), c2=(11, 11, 11))
+    a = np.asarray(watershed(jnp.asarray(fg.astype(np.float32)), jnp.asarray(peak), method="ascent"))
+    f = np.asarray(watershed(jnp.asarray(fg.astype(np.float32)), jnp.asarray(peak), method="flood"))
+    # same partition (labels are identical because both use root linear indices)
+    assert np.array_equal(a > 0, f > 0)
+    assert np.array_equal(a, f)
+
+
+def test_ascent_seed_sticky_roots():
+    peak, fg, c1, c2 = _two_blob_maps()
+    seeds = np.zeros_like(fg)
+    seeds[c1] = True
+    seeds[c2] = True
+    lab = np.asarray(ascent_labels(jnp.asarray(peak), jnp.asarray(fg), jnp.asarray(seeds)))
+    def lin(c):
+        return (c[0] * 16 + c[1]) * 16 + c[2] + 1
+    assert lab[c1] == lin(c1)
+    assert lab[c2] == lin(c2)
+
+
+def test_flood_respects_fg_mask_and_cap():
+    fg = np.zeros((8, 8, 8), bool)
+    fg[4, 4, :] = True
+    seeds = np.zeros((8, 8, 8), np.int32)
+    seeds[4, 4, 0] = 7
+    pot = np.ones((8, 8, 8), np.float32)
+    lab = np.asarray(flood_labels(jnp.asarray(seeds), jnp.asarray(fg), jnp.asarray(pot), max_iters=3))
+    assert (lab[4, 4, :4] == 7).all()
+    assert (lab[4, 4, 4:] == 0).all()  # cap stopped propagation
+    lab_full = np.asarray(flood_labels(jnp.asarray(seeds), jnp.asarray(fg), jnp.asarray(pot), max_iters=16))
+    assert (lab_full[4, 4, :] == 7).all()
+    assert (lab_full[~fg] == 0).all()
+
+
+def test_flood_static_unroll_matches_while_loop():
+    peak, fg, *_ = _two_blob_maps()
+    seeds = (peak > 0.9).astype(np.int32) * 5
+    a = flood_labels(jnp.asarray(seeds), jnp.asarray(fg), jnp.asarray(peak), 32, unroll_static=False)
+    b = flood_labels(jnp.asarray(seeds), jnp.asarray(fg), jnp.asarray(peak), 32, unroll_static=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_size_filter_drops_small():
+    lab = np.zeros((8, 8, 8), np.int32)
+    lab[0:3, 0:3, 0:3] = 9      # 27 voxels
+    lab[6, 6, 6] = 42           # 1 voxel
+    out = np.asarray(size_filter(jnp.asarray(lab), min_size=27))
+    assert (out == 9).sum() == 27
+    assert (out == 42).sum() == 0

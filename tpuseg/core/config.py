@@ -1,0 +1,135 @@
+"""Config system (SURVEY.md C15).
+
+The reference keeps hyperparameters as argparse constants scattered through its
+scripts; here everything lives in one nested frozen-dataclass tree that is
+JSON-serializable, CLI-overridable (``--train.lr=3e-4`` style) and saved into
+every checkpoint directory so runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """3D U-Net architecture (SURVEY.md C6)."""
+
+    in_channels: int = 1
+    features: Tuple[int, ...] = (32, 64, 128, 256)  # encoder widths, last = bottleneck
+    norm: str = "group"           # "group" | "none"
+    num_groups: int = 8
+    activation: str = "relu"
+    head_features: int = 32       # width of the shared head trunk
+    # dtype policy: fp32 params, bf16 compute (flipped off for parity tests)
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class PostprocConfig:
+    """On-device instance extraction (SURVEY.md C11-C13)."""
+
+    peak_threshold: float = 0.5   # min peak-map prob for a seed
+    fg_threshold: float = 0.5     # min fg-map prob for a voxel to join an instance
+    nms_radius: int = 2           # half-window of the 3D max-pool NMS
+    min_size: int = 27            # drop instances smaller than this many voxels
+    flood_iters: int = 96         # cap for the flood-fill fixed point (~max object diameter)
+    method: str = "ascent"        # "ascent" (pointer-jumping) | "flood" (iterative)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    patch_size: Tuple[int, int, int] = (64, 64, 64)
+    batch_size: int = 8
+    max_instances: int = 64       # static cap on weak annotations per patch
+    peak_sigma: float = 3.0       # gaussian radius of the peak target
+    box_ignore_margin: int = 2    # ignore ring (voxels) around each box for fg loss
+    normalize_pcts: Tuple[float, float] = (1.0, 99.8)
+    augment: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 3e-4
+    weight_decay: float = 1e-4
+    warmup_steps: int = 200
+    total_steps: int = 5000
+    peak_loss_weight: float = 1.0
+    fg_loss_weight: float = 1.0
+    dice_weight: float = 0.5
+    seed: int = 0
+    log_every: int = 20
+    ckpt_every: int = 500
+    ckpt_dir: str = "/tmp/tpuseg_ckpt"
+    keep_ckpts: int = 3
+    data_axis: str = "data"       # DP mesh axis name
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    tile: Tuple[int, int, int] = (32, 128, 128)   # core (written-back) tile shape
+    halo: int = 16                                # context margin on each side
+    tile_batch: int = 1                           # tiles batched through the net
+    compute_dtype: str = "bfloat16"
+    spatial_axes: Tuple[str, ...] = ("z",)        # mesh axes for sharded inference
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    postproc: PostprocConfig = field(default_factory=PostprocConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
+
+    # ---- serialization ----
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return _build(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, **dotted: Any) -> "Config":
+        """Apply CLI-style dotted overrides, e.g. ``override(**{"train.lr": 1e-3})``."""
+        d = self.to_dict()
+        for key, val in dotted.items():
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config key: {key}")
+            node[parts[-1]] = val
+        return Config.from_dict(d)
+
+
+def _build(cls, d: dict):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+        ):
+            kwargs[f.name] = _build(f.type, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)

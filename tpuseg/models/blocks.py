@@ -1,0 +1,126 @@
+"""Building blocks for the 3D U-Net (SURVEY.md C6).
+
+TPU-first choices (vs. the reference's Conv3d+BatchNorm3d+trilinear-up torch
+stack, per SURVEY.md L3):
+
+* NDHWC layout — XLA's TPU conv emitter wants channels-last; it tiles the
+  (spatial, C) dims onto the (8,128)/MXU lanes.
+* GroupNorm instead of BatchNorm — no cross-device stat sync under data
+  parallelism, no train/eval mode split, identical math at any batch size.
+* Nearest-neighbor 2x upsample + conv instead of ConvTranspose3d — lowers to a
+  cheap broadcast-reshape plus a regular conv (one fused XLA op pair), and
+  avoids checkerboard artifacts.
+* bf16 compute / fp32 params via the ``dtype``/``param_dtype`` split.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _activation(name: str) -> Callable:
+    return {"relu": nn.relu, "silu": nn.silu, "gelu": nn.gelu}[name]
+
+
+class ConvBlock(nn.Module):
+    """Conv3x3x3 -> norm -> act, twice."""
+
+    features: int
+    norm: str = "group"
+    num_groups: int = 8
+    activation: str = "relu"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = _activation(self.activation)
+        for i in range(2):
+            x = nn.Conv(
+                self.features,
+                kernel_size=(3, 3, 3),
+                padding="SAME",
+                use_bias=(self.norm == "none"),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv{i}",
+            )(x)
+            if self.norm == "group":
+                # GroupNorm in fp32 for numerical stability, back to compute dtype.
+                x = nn.GroupNorm(
+                    num_groups=min(self.num_groups, self.features),
+                    dtype=jnp.float32,
+                    param_dtype=self.param_dtype,
+                    name=f"norm{i}",
+                )(x.astype(jnp.float32)).astype(self.dtype)
+            x = act(x)
+        return x
+
+
+class Down(nn.Module):
+    """Stride-2 conv downsample (keeps everything on the conv unit)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            kernel_size=(2, 2, 2),
+            strides=(2, 2, 2),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="down",
+        )(x)
+
+
+def upsample2x(x):
+    """Nearest-neighbor 2x upsample in D,H,W for NDHWC tensors.
+
+    Broadcast-reshape only — XLA fuses it into the following conv's input.
+    """
+    n, d, h, w, c = x.shape
+    x = x[:, :, None, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, d, 2, h, 2, w, 2, c))
+    return x.reshape(n, 2 * d, 2 * h, 2 * w, c)
+
+
+class Up(nn.Module):
+    """Upsample 2x -> conv -> concat skip -> ConvBlock."""
+
+    features: int
+    norm: str = "group"
+    num_groups: int = 8
+    activation: str = "relu"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = upsample2x(x)
+        x = nn.Conv(
+            self.features,
+            kernel_size=(2, 2, 2),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="up_conv",
+        )(x)
+        x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
+        return ConvBlock(
+            self.features,
+            norm=self.norm,
+            num_groups=self.num_groups,
+            activation=self.activation,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="block",
+        )(x)

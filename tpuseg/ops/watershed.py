@@ -1,0 +1,181 @@
+"""Seeded watershed as XLA-native kernels (SURVEY.md C12).
+
+NORTH-STAR: the reference's CPU scipy watershed becomes "fused on-device
+kernels ... iterative flood-fill relabel". Two interchangeable
+implementations (PostprocConfig.method):
+
+* ``ascent_labels`` — steepest-ascent + pointer jumping. Every foreground
+  voxel points at its (potential, index)-lexicographically largest neighbor
+  (or itself if it is the local max); log2(N) rounds of ``p = p[p]`` resolve
+  each voxel to its basin root. Strict lexicographic ordering makes the
+  pointer graph a forest (no cycles) and the result deterministic. This is
+  the fast path: ~7 stencil passes + ~log2(N) gathers, all dense and
+  HBM-bandwidth bound, no data-dependent iteration count.
+
+* ``flood_labels`` — iterative 6-neighbor label propagation from seeds,
+  highest-potential-neighbor-first, a fixed-point ``lax.while_loop`` capped at
+  ``max_iters`` (SURVEY.md §7 hard part #2: cap + changed flag). Closer to
+  scipy's priority-flood semantics; used for parity checks and for absorbing
+  unlabeled foreground into adjacent basins.
+
+The standard pipeline (``watershed``) seeds from the peak map (C11), builds
+basins on the peak potential (valleys of the summed center-gaussians split
+touching instances), constrains extent by the foreground mask, drops basins
+whose root is not a seed, and floods those dropped voxels into neighboring
+labeled basins.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpuseg.ops.neighbors import NEIGHBORS_6, linear_index, shift
+
+
+def _steepest_parent(potential, mask, self_sticky=None):
+    """Parent linear index per voxel: argmax over {self} ∪ 6 neighbors of
+    (potential, linear_index), neighbors outside ``mask`` ineligible.
+
+    ``self_sticky``: optional bool volume — voxels forced to parent=self
+    (watershed seeds)."""
+    potential = jnp.where(mask, potential.astype(jnp.float32), -jnp.inf)
+    idx = linear_index(potential.shape)
+    best_pot, best_idx = potential, idx
+    for axis, off in NEIGHBORS_6:
+        npot = shift(potential, axis, off, -jnp.inf)
+        nidx = shift(idx, axis, off, jnp.int32(-1))
+        better = (npot > best_pot) | ((npot == best_pot) & (nidx > best_idx))
+        best_pot = jnp.where(better, npot, best_pot)
+        best_idx = jnp.where(better, nidx, best_idx)
+    parent = jnp.where(mask, best_idx, idx)
+    if self_sticky is not None:
+        parent = jnp.where(self_sticky & mask, idx, parent)
+    return parent
+
+
+def _pointer_jump(parent_flat: jnp.ndarray, rounds: int) -> jnp.ndarray:
+    def body(_, p):
+        return p[p]
+    return lax.fori_loop(0, rounds, body, parent_flat)
+
+
+def ascent_labels(
+    potential: jnp.ndarray,
+    fg_mask: jnp.ndarray,
+    seed_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Watershed-by-steepest-ascent. Returns int32 labels = root linear
+    index + 1 on foreground, 0 on background.
+
+    If ``seed_mask`` is given, seed voxels are forced to be roots; basins
+    whose root is NOT a seed keep their (non-seed) root label — callers that
+    want them removed use :func:`watershed`, which drops and re-floods them.
+    """
+    shape = potential.shape
+    n = potential.size
+    parent = _steepest_parent(potential, fg_mask, self_sticky=seed_mask)
+    rounds = max(1, math.ceil(math.log2(max(n, 2))))
+    root = _pointer_jump(parent.ravel(), rounds).reshape(shape)
+    return jnp.where(fg_mask, root + 1, 0).astype(jnp.int32)
+
+
+def flood_labels(
+    seed_labels: jnp.ndarray,
+    fg_mask: jnp.ndarray,
+    potential: jnp.ndarray,
+    max_iters: int,
+    unroll_static: bool = False,
+) -> jnp.ndarray:
+    """Propagate seed labels over the foreground mask, one 6-neighbor step per
+    iteration; an unlabeled voxel adopts the label of its labeled neighbor with
+    the highest (potential, index) key. Labeled voxels never change (first
+    arrival wins), matching marker-based region growing.
+
+    ``unroll_static=True`` replaces the while_loop with a fori_loop of exactly
+    ``max_iters`` steps — jit-stable shape for the fused inference graph
+    (SURVEY.md §7 hard part #2).
+    """
+    potential = jnp.where(fg_mask, potential.astype(jnp.float32), -jnp.inf)
+    idx = linear_index(fg_mask.shape)
+
+    def step(labels):
+        best_key = jnp.full(labels.shape, -jnp.inf)
+        best_idx = jnp.full(labels.shape, -1, jnp.int32)
+        best_lbl = jnp.zeros_like(labels)
+        for axis, off in NEIGHBORS_6:
+            nlbl = shift(labels, axis, off, jnp.int32(0))
+            nkey = shift(potential, axis, off, -jnp.inf)
+            nidx = shift(idx, axis, off, jnp.int32(-1))
+            valid = nlbl > 0
+            nkey = jnp.where(valid, nkey, -jnp.inf)
+            better = (nkey > best_key) | ((nkey == best_key) & (nidx > best_idx))
+            best_key = jnp.where(better, nkey, best_key)
+            best_idx = jnp.where(better, nidx, best_idx)
+            best_lbl = jnp.where(better, nlbl, best_lbl)
+        can_take = fg_mask & (labels == 0) & (best_lbl > 0)
+        return jnp.where(can_take, best_lbl, labels)
+
+    labels0 = jnp.where(fg_mask, seed_labels, 0).astype(jnp.int32)
+
+    if unroll_static:
+        return lax.fori_loop(0, max_iters, lambda _, l: step(l), labels0)
+
+    def cond(state):
+        i, labels, changed = state
+        return (i < max_iters) & changed
+
+    def body(state):
+        i, labels, _ = state
+        new = step(labels)
+        return i + 1, new, jnp.any(new != labels)
+
+    _, labels, _ = lax.while_loop(cond, body, (jnp.int32(0), labels0, jnp.bool_(True)))
+    return labels
+
+
+@partial(jax.jit, static_argnames=("peak_radius", "flood_iters", "method", "static_shapes"))
+def watershed(
+    fg_prob: jnp.ndarray,
+    peak_prob: jnp.ndarray,
+    peak_threshold: float = 0.5,
+    fg_threshold: float = 0.5,
+    peak_radius: int = 2,
+    flood_iters: int = 96,
+    method: str = "ascent",
+    static_shapes: bool = False,
+) -> jnp.ndarray:
+    """Full instance extraction: peak NMS seeds -> seeded watershed over the
+    foreground mask. Returns int32 labels (root-index labels; call
+    :func:`tpuseg.ops.compact_relabel` for 1..K numbering).
+
+    Equivalent of the reference's ``post_process(fg_vol, peak_vol)`` stage
+    (SURVEY.md §3.2 hot loops 2-3), as one jittable function.
+    """
+    from tpuseg.ops.peaks import peak_nms  # local import to avoid cycle
+
+    fg_mask = fg_prob >= fg_threshold
+    seeds = peak_nms(peak_prob, peak_threshold, peak_radius)
+    seeds = seeds & fg_mask
+    idx = linear_index(fg_prob.shape)
+
+    if method == "ascent":
+        labels = ascent_labels(peak_prob, fg_mask, seed_mask=seeds)
+        # Drop basins whose root is not a seed, then flood those voxels into
+        # adjacent seeded basins (absorption handles sub-threshold local maxima).
+        root = labels - 1
+        root_is_seed = jnp.where(labels > 0, seeds.ravel()[root.ravel()].reshape(labels.shape), False)
+        labels = jnp.where(root_is_seed, labels, 0)
+        labels = flood_labels(labels, fg_mask, fg_prob, flood_iters,
+                              unroll_static=static_shapes)
+    elif method == "flood":
+        seed_labels = jnp.where(seeds, idx + 1, 0).astype(jnp.int32)
+        labels = flood_labels(seed_labels, fg_mask, fg_prob, flood_iters,
+                              unroll_static=static_shapes)
+    else:
+        raise ValueError(f"unknown watershed method {method!r}")
+    return labels
