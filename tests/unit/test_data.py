@@ -1,0 +1,92 @@
+"""Data layer: synthetic volumes, normalization, sampler, I/O (SURVEY.md C1-C3)."""
+
+import numpy as np
+import pytest
+
+from tpuseg.data import PatchSampler, percentile_normalize, synthesize_volume
+from tpuseg.data.volume_io import (
+    load_annotations,
+    load_volume,
+    save_annotations,
+    save_volume,
+)
+
+
+@pytest.fixture(scope="module")
+def vol():
+    return synthesize_volume(shape=(32, 64, 64), num_instances=8, seed=3)
+
+
+def test_synthetic_consistency(vol):
+    assert vol.image.shape == (32, 64, 64)
+    assert vol.image.dtype == np.float32
+    k = len(vol.centers)
+    assert k >= 6
+    assert set(np.unique(vol.labels)) <= set(range(k + 1))
+    # each center voxel belongs to its own instance
+    for i, c in enumerate(vol.centers):
+        assert vol.labels[tuple(np.round(c).astype(int))] == i + 1
+
+
+def test_percentile_normalize_range(vol):
+    out = np.asarray(percentile_normalize(vol.image * 517.0 + 33.0))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert out.max() == pytest.approx(1.0, abs=1e-3)
+
+
+def test_sampler_shapes_and_determinism(vol):
+    s1 = PatchSampler([vol], patch_size=(16, 16, 16), batch_size=4,
+                      max_instances=8, seed=7)
+    s2 = PatchSampler([vol], patch_size=(16, 16, 16), batch_size=4,
+                      max_instances=8, seed=7)
+    b1, b2 = s1.next_batch(), s2.next_batch()
+    assert b1["image"].shape == (4, 16, 16, 16)
+    assert b1["centers"].shape == (4, 8, 3)
+    assert b1["valid"].dtype == bool
+    for k in b1:
+        assert np.array_equal(b1[k], b2[k])
+    # different steps differ
+    b3 = s1.next_batch()
+    assert not np.array_equal(b1["image"], b3["image"])
+
+
+def test_sampler_resume_from_state(vol):
+    s1 = PatchSampler([vol], patch_size=(16, 16, 16), batch_size=2, seed=5)
+    s1.next_batch()
+    state = s1.state_dict()
+    want = s1.next_batch()
+    s2 = PatchSampler([vol], patch_size=(16, 16, 16), batch_size=2, seed=99)
+    s2.load_state_dict(state)
+    got = s2.next_batch()
+    assert np.array_equal(want["image"], got["image"])
+
+
+def test_sampler_centers_inside_patch(vol):
+    s = PatchSampler([vol], patch_size=(16, 16, 16), batch_size=8, seed=1)
+    b = s.next_batch()
+    c = b["centers"][b["valid"]]
+    assert (c >= 0).all() and (c < 16).all()
+
+
+@pytest.mark.parametrize("ext", ["npy", "npz", "h5", "tif"])
+def test_volume_io_roundtrip(tmp_path, vol, ext):
+    path = str(tmp_path / f"v.{ext}")
+    data = (vol.image * 65535).astype(np.uint16)
+    save_volume(path, data)
+    back = load_volume(path)
+    assert np.array_equal(back, data)
+
+
+def test_label_volume_tiff_roundtrip(tmp_path, vol):
+    path = str(tmp_path / "lab.tiff")
+    save_volume(path, vol.labels)
+    back = load_volume(path)
+    assert np.array_equal(back, vol.labels)
+
+
+def test_annotations_roundtrip(tmp_path, vol):
+    path = str(tmp_path / "ann.npz")
+    save_annotations(path, vol.centers, vol.half_sizes)
+    c, h = load_annotations(path)
+    assert np.allclose(c, vol.centers)
+    assert np.allclose(h, vol.half_sizes)
