@@ -1,14 +1,19 @@
 """Test environment: 8 virtual CPU devices (SURVEY.md §4.3).
 
-Must set env BEFORE jax is imported anywhere: tests run the distributed code
-paths (shard_map DP training, GSPMD halo-exchange inference) on a fake
-8-device CPU mesh, per the build rules ("test sharding on a virtual 8-device
-CPU mesh").
+Tests run the distributed code paths (shard_map DP training, GSPMD
+halo-exchange inference) on a fake 8-device CPU mesh, per the build rules
+("test sharding on a virtual 8-device CPU mesh").
+
+Platform selection note: this image's sitecustomize registers the axon TPU
+PJRT plugin in EVERY python process and force-sets
+``jax.config.jax_platforms = "axon,cpu"`` — env vars alone cannot override
+it. So the override happens at the jax.config level here, before any backend
+initializes. Set TPUSEG_TEST_TPU=1 to run the suite single-device on the real
+chip instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,7 +22,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_debug_nans", False)  # flipped on in specific tests
+if not os.environ.get("TPUSEG_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

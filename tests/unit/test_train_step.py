@@ -1,0 +1,76 @@
+"""Training step + loop + checkpoint/resume (SURVEY.md C8/C9, §4.1, §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuseg.core import Config, DataConfig, ModelConfig, TrainConfig
+from tpuseg.data import PatchSampler, synthesize_volume
+from tpuseg.models import build_model
+from tpuseg.train import create_train_state, make_train_step, train
+
+
+def tiny_config(tmp_dir="/tmp/tpuseg_test_ckpt", steps=6):
+    return Config(
+        model=ModelConfig(features=(4, 8), num_groups=2, head_features=4,
+                          compute_dtype="float32"),
+        data=DataConfig(patch_size=(16, 16, 16), batch_size=2, max_instances=8),
+        train=TrainConfig(total_steps=steps, warmup_steps=2, log_every=2,
+                          ckpt_every=3, ckpt_dir=tmp_dir, lr=1e-3),
+    )
+
+
+@pytest.fixture(scope="module")
+def vol():
+    return synthesize_volume(shape=(32, 32, 32), num_instances=4, seed=0)
+
+
+def test_single_step_updates_params_and_is_finite(vol):
+    cfg = tiny_config()
+    model = build_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    sampler = PatchSampler([vol], patch_size=cfg.data.patch_size,
+                           batch_size=2, max_instances=8, seed=0)
+    step = jax.jit(make_train_step(model, cfg))
+    batch = {k: jnp.asarray(v) for k, v in sampler.next_batch().items()}
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    # params actually moved
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        state.params, new_state.params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_loss_decreases_over_short_run(vol, tmp_path):
+    cfg = tiny_config(str(tmp_path / "ck"), steps=30)
+    _, history = train(cfg, [vol], log_path=str(tmp_path / "m.jsonl"))
+    losses = [h["loss"] for h in history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_resume_from_checkpoint_matches_uninterrupted(vol, tmp_path):
+    # run A: 6 steps straight through
+    cfg_a = tiny_config(str(tmp_path / "a"), steps=6)
+    state_a, _ = train(cfg_a, [vol])
+    # run B: 3 steps (ckpt_every=3 saves at 3), then resume to 6
+    cfg_b1 = tiny_config(str(tmp_path / "b"), steps=3)
+    train(cfg_b1, [vol])
+    cfg_b2 = tiny_config(str(tmp_path / "b"), steps=6)
+    state_b, _ = train(cfg_b2, [vol], resume=True)
+
+    for pa, pb in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5, atol=1e-6)
+
+
+def test_metrics_jsonl_written(vol, tmp_path):
+    import json
+
+    cfg = tiny_config(str(tmp_path / "ck"), steps=4)
+    train(cfg, [vol], log_path=str(tmp_path / "metrics.jsonl"))
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert len(lines) >= 2
+    assert {"step", "loss", "peak_loss", "fg_loss", "grad_norm", "mvox_per_s"} <= set(lines[0])

@@ -1,0 +1,60 @@
+"""Data-parallel training over a device mesh (NORTH-STAR config 4).
+
+The reference is single-GPU (SURVEY.md §2: DP `[ABSENT]`); this is the
+additive TPU-native story: ``shard_map`` over a 1-D ``Mesh(('data',))`` with
+the global batch sharded on axis 0, parameters/optimizer state replicated,
+and gradients ``pmean``-ed over ICI inside the mapped step — the XLA
+collective replacing any NCCL all-reduce.
+
+Under jit, XLA compiles the psum onto the ICI ring; on the CPU test platform
+the same code runs on 8 virtual devices (tests/distributed/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tpuseg.core import Config
+from tpuseg.train.step import TrainState, make_train_step
+
+
+def make_data_mesh(axis: str = "data", devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def make_dp_train_step(model, cfg: Config, mesh: Mesh):
+    """jitted (state, batch, rng) -> (state, metrics) with batch axis sharded
+    over the mesh's data axis; state replicated; grads pmean'd inside."""
+    axis = mesh.axis_names[0]
+    inner = make_train_step(model, cfg, axis_name=axis)
+
+    def mapped(state, batch, rng):
+        # same PRNG on all shards; fold in the axis index so augmentations
+        # differ per shard while staying reproducible
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        return inner(state, batch, rng)
+
+    smapped = shard_map(
+        mapped,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh):
+    """Place a host batch with its leading axis sharded over the data axis."""
+    axis = mesh.axis_names[0]
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, P(axis)))
+        for k, v in batch.items()
+    }

@@ -1,0 +1,102 @@
+"""Weakly-supervised training loop (SURVEY.md C8, §3.1).
+
+Single-device or data-parallel (mesh with >1 device), with:
+  * jit-fused step (prep + fwd/bwd + update) — zero Python in the hot loop
+  * JSONL metrics incl. Mvox/s throughput (the north-star counter)
+  * Orbax async checkpoints carrying optimizer + sampler state for exact
+    resume (SURVEY.md §5 failure recovery: kill-and-resume safe)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from tpuseg.ckpt import CheckpointManager
+from tpuseg.core import Config
+from tpuseg.data import PatchSampler
+from tpuseg.data.synthetic import SyntheticVolume
+from tpuseg.models import build_model
+from tpuseg.train.dp import make_data_mesh, make_dp_train_step, shard_batch
+from tpuseg.train.step import create_train_state, make_train_step
+from tpuseg.utils.logging import MetricsLogger
+
+
+def train(
+    cfg: Config,
+    volumes: Sequence[SyntheticVolume],
+    mesh=None,
+    log_path: Optional[str] = None,
+    resume: bool = False,
+):
+    """Returns (final TrainState, list of metric dicts)."""
+    model = build_model(cfg.model)
+    rng = jax.random.key(cfg.train.seed)
+    state = create_train_state(model, cfg, rng)
+    sampler = PatchSampler(
+        volumes,
+        patch_size=cfg.data.patch_size,
+        batch_size=cfg.data.batch_size,
+        max_instances=cfg.data.max_instances,
+        seed=cfg.train.seed,
+    )
+    mgr = CheckpointManager(cfg.train.ckpt_dir, keep=cfg.train.keep_ckpts)
+
+    start_step = 0
+    if resume and mgr.latest_step() is not None:
+        params, opt_state, meta = mgr.restore(state.params, state.opt_state)
+        state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            step=jax.numpy.asarray(meta["step"], jax.numpy.int32),
+        )
+        sampler.load_state_dict(meta["sampler"])
+        start_step = int(meta["step"])
+
+    if (
+        mesh is None
+        and jax.device_count() > 1
+        and cfg.data.batch_size % jax.device_count() == 0
+    ):
+        mesh = make_data_mesh(cfg.train.data_axis)
+    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        step_fn = make_dp_train_step(model, cfg, mesh)
+        put = lambda b: shard_batch(b, mesh)
+    else:
+        step_fn = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+        put = lambda b: b
+
+    logger = MetricsLogger(log_path, echo=False)
+    step_rng = jax.random.key(cfg.train.seed + 1)
+    voxels_per_batch = cfg.data.batch_size * int(np.prod(cfg.data.patch_size))
+
+    history = []
+    t_last = time.perf_counter()
+    for step in range(start_step, cfg.train.total_steps):
+        batch = put(sampler.next_batch())
+        state, metrics = step_fn(state, batch, step_rng)
+        if (step + 1) % cfg.train.log_every == 0 or step + 1 == cfg.train.total_steps:
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            now = time.perf_counter()
+            dt = now - t_last
+            t_last = now
+            mvox_s = voxels_per_batch * cfg.train.log_every / dt / 1e6
+            logger.log(step + 1, metrics, mvox_per_s=round(mvox_s, 3))
+            history.append({"step": step + 1, **metrics, "mvox_per_s": mvox_s})
+        if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == cfg.train.total_steps:
+            mgr.save(
+                step + 1,
+                jax.device_get(state.params),
+                jax.device_get(state.opt_state),
+                meta={
+                    "step": step + 1,
+                    "sampler": sampler.state_dict(),
+                    "config": cfg.to_dict(),
+                },
+            )
+    mgr.wait()
+    logger.close()
+    return state, history

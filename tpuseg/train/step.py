@@ -1,0 +1,118 @@
+"""Training step (SURVEY.md C8, §3.1).
+
+The reference's hot loop is Python-driven: CPU augmentation + target
+synthesis per batch, then an eager CUDA forward/backward (SURVEY.md §3.1).
+Here the ENTIRE step — normalization, weak-target synthesis, augmentation,
+forward, loss, backward, optimizer update — is one jit-compiled XLA program
+(NORTH-STAR: "Preprocessing ... fuses into the same jit-compiled graph ...
+zero Python in the hot loop"). The host only feeds raw uint/float patches and
+integer annotations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tpuseg.core import Config
+from tpuseg.data.augment import augment_patch
+from tpuseg.data.normalize import percentile_normalize
+from tpuseg.data.weak_targets import make_weak_targets
+from tpuseg.losses import total_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=params, opt_state=opt_state)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    # init_value > 0 so the very first step (optax count 0) is not a no-op
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=cfg.train.lr / max(cfg.train.warmup_steps, 1),
+        peak_value=cfg.train.lr,
+        warmup_steps=cfg.train.warmup_steps,
+        decay_steps=max(cfg.train.total_steps, cfg.train.warmup_steps + 1),
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=cfg.train.weight_decay),
+    )
+
+
+def create_train_state(model, cfg: Config, rng: jax.Array) -> TrainState:
+    from tpuseg.models import init_params
+
+    params = init_params(model, rng, patch_shape=cfg.data.patch_size)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def prepare_batch(batch: Dict[str, jnp.ndarray], cfg: Config, rng: jax.Array):
+    """Raw sampler batch -> (images NDHWC, target dict). Fully jittable."""
+    patch = cfg.data.patch_size
+
+    def one(img, centers, halfs, valid, key):
+        img = percentile_normalize(img, cfg.data.normalize_pcts)
+        tgt = make_weak_targets(
+            centers, halfs, valid, patch,
+            peak_sigma=cfg.data.peak_sigma,
+            margin=cfg.data.box_ignore_margin,
+        )
+        if cfg.data.augment:
+            img, tgt = augment_patch(key, img, tgt)
+        return img, tgt
+
+    b = batch["image"].shape[0]
+    keys = jax.random.split(rng, b)
+    imgs, tgts = jax.vmap(one)(
+        batch["image"], batch["centers"], batch["half_sizes"],
+        batch["valid"], keys,
+    )
+    return imgs[..., None], tgts
+
+
+def loss_fn(params, model, batch, cfg: Config, rng: jax.Array):
+    imgs, tgts = prepare_batch(batch, cfg, rng)
+    out = model.apply({"params": params}, imgs)
+    return total_loss(out, tgts, cfg.train)
+
+
+def make_train_step(model, cfg: Config, axis_name: str | None = None):
+    """Build the (state, batch, rng) -> (state, metrics) step.
+
+    ``axis_name``: if set, gradients and metrics are psum-averaged over that
+    mapped mesh axis (used by train.dp under shard_map).
+    """
+
+    def step(state: TrainState, batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, model, batch, cfg, rng
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        gnorm = optax.global_norm(grads)
+        state = state.apply_gradients(grads)
+        metrics = dict(metrics, grad_norm=gnorm)
+        return state, metrics
+
+    return step
