@@ -58,8 +58,10 @@ def test_dp_step_matches_single_device(setup):
     state8, m8 = dp(state8, shard_batch(batch_np, mesh), rng)
 
     assert np.isclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    # tolerance: float reduction order differs across shards and Adam's
+    # rsqrt amplifies it for near-zero second moments
     for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state8.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
 def test_dp_multiple_steps_stay_in_sync(setup):

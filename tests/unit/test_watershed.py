@@ -81,3 +81,17 @@ def test_size_filter_drops_small():
     out = np.asarray(size_filter(jnp.asarray(lab), min_size=27))
     assert (out == 9).sum() == 27
     assert (out == 42).sum() == 0
+
+
+def test_size_filter_and_compact_matches_sequential():
+    from tpuseg.ops import compact_relabel, size_filter_and_compact
+
+    rng = np.random.default_rng(3)
+    lab = np.zeros((12, 12, 12), np.int32)
+    lab[0:3, 0:3, 0:3] = 9          # 27 voxels
+    lab[5:7, 5:7, 5:7] = 700        # 8 voxels
+    lab[10, 10, 10] = 42            # 1 voxel
+    seq = np.asarray(compact_relabel(size_filter(jnp.asarray(lab), 8)))
+    fused = np.asarray(size_filter_and_compact(jnp.asarray(lab), 8))
+    assert np.array_equal(seq, fused)
+    assert set(np.unique(fused)) == {0, 1, 2}

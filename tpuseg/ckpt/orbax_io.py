@@ -24,34 +24,36 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, params: Any, opt_state: Any, meta: dict) -> None:
-        self.mgr.save(
-            int(step),
-            args=ocp.args.Composite(
-                params=ocp.args.StandardSave(params),
-                opt_state=ocp.args.StandardSave(opt_state),
-                meta=ocp.args.JsonSave(meta),
-            ),
+    def save(self, step: int, params: Any, opt_state: Any, meta: dict,
+             batch_stats: Any = None) -> None:
+        parts = dict(
+            params=ocp.args.StandardSave(params),
+            opt_state=ocp.args.StandardSave(opt_state),
+            meta=ocp.args.JsonSave(meta),
         )
+        if batch_stats:
+            parts["batch_stats"] = ocp.args.StandardSave(batch_stats)
+        self.mgr.save(int(step), args=ocp.args.Composite(**parts))
 
     def latest_step(self) -> Optional[int]:
         return self.mgr.latest_step()
 
     def restore(self, params_template: Any, opt_state_template: Any,
-                step: Optional[int] = None):
-        """Returns (params, opt_state, meta) at ``step`` (default: latest)."""
+                step: Optional[int] = None, batch_stats_template: Any = None):
+        """Returns (params, opt_state, meta, batch_stats) at ``step``
+        (default: latest); batch_stats is None when not stored."""
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        out = self.mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                params=ocp.args.StandardRestore(params_template),
-                opt_state=ocp.args.StandardRestore(opt_state_template),
-                meta=ocp.args.JsonRestore(),
-            ),
+        parts = dict(
+            params=ocp.args.StandardRestore(params_template),
+            opt_state=ocp.args.StandardRestore(opt_state_template),
+            meta=ocp.args.JsonRestore(),
         )
-        return out["params"], out["opt_state"], out["meta"]
+        if batch_stats_template:
+            parts["batch_stats"] = ocp.args.StandardRestore(batch_stats_template)
+        out = self.mgr.restore(step, args=ocp.args.Composite(**parts))
+        return out["params"], out["opt_state"], out["meta"], out.get("batch_stats")
 
     def restore_params(self, params_template: Any, step: Optional[int] = None):
         step = step if step is not None else self.mgr.latest_step()

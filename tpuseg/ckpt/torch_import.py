@@ -1,24 +1,25 @@
-"""`.pth` checkpoint import: torch state_dict -> flax param pytree.
+"""`.pth` checkpoint import: torch state_dict -> flax variable collections.
 
 NORTH-STAR I/O contract: "same checkpoint-in ... as the reference scripts" —
 reference checkpoints are torch ``state_dict`` ``.pth`` files. The mirror
 (ckpt/torch_mirror.py) shares module naming with models/unet3d.py, so the
 mapping is mechanical:
 
-  torch key                      flax path                      transform
-  <block>.convN.weight        -> <block>/convN/kernel           OIDHW -> DHWIO
-  <block>.convN.bias          -> <block>/convN/bias             copy
-  <block>.normN.weight/.bias  -> <block>/normN/scale|bias       copy
-  downI.down.*                -> downI/down/*                   conv rule
-  upI.up_conv.*, upI.block.*  -> upI/up_conv|block/*            conv rule
-  fg_head/peak_head.*         -> fg_head|peak_head/*            conv rule
+  torch key                        flax path                    transform
+  <block>.convN.weight          -> params/<block>/convN/kernel  OIDHW -> DHWIO
+  <block>.convN.bias            -> params/<block>/convN/bias    copy
+  <block>.normN.weight/.bias    -> params/<block>/normN/scale|bias
+  <block>.normN.running_mean    -> batch_stats/<block>/normN/mean
+  <block>.normN.running_var     -> batch_stats/<block>/normN/var
+  <block>.normN.num_batches_tracked -> (dropped)
+  downI.down.*, upI.*, heads    -> same path, conv rule
 
-(SURVEY.md §7 hard part #4: conv layout transpose + norm naming.)
+(SURVEY.md §7 hard part #4: conv layout transpose + BatchNorm running stats.)
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
@@ -27,37 +28,53 @@ def _to_numpy(t) -> np.ndarray:
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
 
-def flax_params_from_torch(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
-    """Convert a torch-mirror ``state_dict`` into a nested flax params dict."""
+def _set(tree: Dict[str, Any], path, leaf, value) -> None:
+    node = tree
+    for p in path:
+        node = node.setdefault(p, {})
+    node[leaf] = value
+
+
+def flax_variables_from_torch(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert a torch-mirror ``state_dict`` into flax variable collections:
+    ``{"params": ..., "batch_stats": ...}`` (batch_stats empty for GroupNorm
+    checkpoints)."""
     params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
     for key, value in state_dict.items():
+        *path, leaf_name = key.split(".")
+        if leaf_name == "num_batches_tracked":
+            continue
         v = _to_numpy(value).astype(np.float32)
-        *path, leaf_module, leaf_name = key.split(".")
-        # leaf_module is the torch nn.Conv3d / nn.GroupNorm attribute name
-        if leaf_name == "weight":
+        if leaf_name == "running_mean":
+            _set(stats, path, "mean", v)
+        elif leaf_name == "running_var":
+            _set(stats, path, "var", v)
+        elif leaf_name == "weight":
             if v.ndim == 5:  # Conv3d: (O, I, kd, kh, kw) -> (kd, kh, kw, I, O)
-                v = np.transpose(v, (2, 3, 4, 1, 0))
-                leaf = "kernel"
-            elif v.ndim == 1:  # GroupNorm scale
-                leaf = "scale"
+                _set(params, path, "kernel", np.transpose(v, (2, 3, 4, 1, 0)))
+            elif v.ndim == 1:  # BatchNorm/GroupNorm scale
+                _set(params, path, "scale", v)
             else:
                 raise ValueError(f"unexpected weight rank for {key}: {v.shape}")
         elif leaf_name == "bias":
-            leaf = "bias"
+            _set(params, path, "bias", v)
         else:
             raise ValueError(f"unexpected torch leaf {key}")
-        node = params
-        for p in (*path, leaf_module):
-            node = node.setdefault(p, {})
-        node[leaf] = v
-    return params
+    return {"params": params, "batch_stats": stats}
+
+
+def flax_params_from_torch(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Params collection only (GroupNorm / norm-free checkpoints)."""
+    return flax_variables_from_torch(state_dict)["params"]
 
 
 def load_pth_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a ``.pth`` file (state_dict or {'state_dict': ...}) -> flax params."""
+    """Load a ``.pth`` file (state_dict or {'state_dict': ...}) -> flax
+    variables ``{"params": ..., "batch_stats": ...}``."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    return flax_params_from_torch(obj)
+    return flax_variables_from_torch(obj)

@@ -29,15 +29,22 @@ def build_torch_mirror(cfg: ModelConfig | None = None):
     import torch.nn.functional as F
 
     cfg = cfg or ModelConfig()
-    assert cfg.norm == "group", "mirror implements the GroupNorm variant"
+    assert cfg.norm in ("batch", "group"), "mirror implements batch/group norm"
+
+    def make_norm(cout):
+        if cfg.norm == "batch":
+            # eps matches flax nn.BatchNorm(epsilon=1e-5); running stats are
+            # the tile-independent statistics used at eval (SURVEY.md #4)
+            return nn.BatchNorm3d(cout, eps=1e-5)
+        return nn.GroupNorm(min(cfg.num_groups, cout), cout, eps=1e-6)
 
     class ConvBlock(nn.Module):
         def __init__(self, cin, cout):
             super().__init__()
             self.conv0 = nn.Conv3d(cin, cout, 3, padding=1, bias=False)
-            self.norm0 = nn.GroupNorm(min(cfg.num_groups, cout), cout, eps=1e-6)
+            self.norm0 = make_norm(cout)
             self.conv1 = nn.Conv3d(cout, cout, 3, padding=1, bias=False)
-            self.norm1 = nn.GroupNorm(min(cfg.num_groups, cout), cout, eps=1e-6)
+            self.norm1 = make_norm(cout)
 
         def forward(self, x):
             x = F.relu(self.norm0(self.conv0(x)))

@@ -1,0 +1,57 @@
+"""``python -m tpuseg.cli.infer`` — whole-volume instance segmentation
+(mirrors the reference's test.py: checkpoint in, instance-label volume out;
+SURVEY.md §3.2, NORTH-STAR I/O contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    from tpuseg.cli.common import add_config_args, load_config, load_variables
+
+    add_config_args(p)
+    p.add_argument("--checkpoint", required=True,
+                   help=".pth file (reference format) or Orbax checkpoint dir")
+    p.add_argument("--input", required=True, help="volume file (npy/npz/h5/tiff)")
+    p.add_argument("--output", required=True,
+                   help="instance-label volume out (npy/npz/h5/tiff, int32)")
+    p.add_argument("--no-normalize", action="store_true",
+                   help="skip percentile normalization (input already in [0,1])")
+    args = p.parse_args(argv)
+    cfg = load_config(args)
+
+    from tpuseg.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuseg.data.volume_io import load_volume, save_volume
+    from tpuseg.infer import make_infer_fn
+    from tpuseg.models import build_model
+
+    model = build_model(cfg.model)
+    variables = jax.tree.map(jnp.asarray, load_variables(args.checkpoint, model, cfg))
+    volume = load_volume(args.input).astype(np.float32)
+
+    infer = make_infer_fn(model, cfg, normalize=not args.no_normalize)
+    t0 = time.perf_counter()
+    labels = jax.block_until_ready(infer(variables, jnp.asarray(volume)))
+    dt = time.perf_counter() - t0
+    labels = np.asarray(labels)
+
+    save_volume(args.output, labels)
+    n = int(labels.max())
+    mvox = volume.size / 1e6
+    print(f"{args.input}: {volume.shape} -> {n} instances "
+          f"in {dt:.2f}s ({mvox / dt:.2f} Mvox/s incl. compile) -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,7 @@ class ModelConfig:
 
     in_channels: int = 1
     features: Tuple[int, ...] = (32, 64, 128, 256)  # encoder widths, last = bottleneck
-    norm: str = "group"           # "group" | "none"
+    norm: str = "batch"           # "batch" (running stats; tile-exact) | "group" | "none"
     num_groups: int = 8
     activation: str = "relu"
     head_features: int = 32       # width of the shared head trunk
@@ -76,6 +76,11 @@ class InferConfig:
     tile_batch: int = 1                           # tiles batched through the net
     compute_dtype: str = "bfloat16"
     spatial_axes: Tuple[str, ...] = ("z",)        # mesh axes for sharded inference
+    shard_halo: int = 32        # post-proc halo planes exchanged between shards;
+                                # sharding is communication-free-exact for
+                                # instances of diameter < shard_halo
+    shard_max_labels: int = 4096  # per-shard distinct-instance cap for the
+                                  # global compaction gather
 
 
 @dataclass(frozen=True)
@@ -119,15 +124,19 @@ class Config:
 def _build(cls, d: dict):
     if not dataclasses.is_dataclass(cls):
         return d
+    # resolve string annotations (PEP 563: `from __future__ import annotations`
+    # makes f.type a string, so is_dataclass(f.type) would silently be False)
+    import typing
+
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
-        ):
-            kwargs[f.name] = _build(f.type, v)
+        ftype = hints.get(f.name, f.type)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+            kwargs[f.name] = _build(ftype, v)
         elif isinstance(v, list):
             kwargs[f.name] = tuple(v)
         else:

@@ -1,0 +1,95 @@
+"""Instance-level evaluation (SURVEY.md C14, NORTH-STAR "instance F1").
+
+Matches predicted to ground-truth instances either by IoU (optimal one-to-one
+assignment via scipy's Hungarian solver on the contingency table) or by the
+center-hit criterion (predicted instance contains the GT center), and reports
+precision / recall / F1 plus the mean IoU of matched pairs.
+
+Host-side numpy: evaluation is offline and the contingency construction is a
+single np.unique over voxel pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+
+def _contingency(pred: np.ndarray, gt: np.ndarray):
+    """Areas and intersection table between the two labelings.
+
+    Returns (pred_ids, gt_ids, inter) where inter[i, j] = |pred_i ∩ gt_j|.
+    """
+    pred = pred.ravel()
+    gt = gt.ravel()
+    pred_ids, pred_inv = np.unique(pred, return_inverse=True)
+    gt_ids, gt_inv = np.unique(gt, return_inverse=True)
+    table = np.zeros((len(pred_ids), len(gt_ids)), np.int64)
+    np.add.at(table, (pred_inv, gt_inv), 1)
+    return pred_ids, gt_ids, table
+
+
+def instance_metrics(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    iou_threshold: float = 0.5,
+    criterion: str = "iou",
+) -> Dict[str, float]:
+    """criterion: "iou" (Hungarian on IoU >= threshold) or "center"
+    (predicted instance containing the GT instance's centroid)."""
+    pred = np.asarray(pred)
+    gt = np.asarray(gt)
+    pred_ids, gt_ids, inter = _contingency(pred, gt)
+
+    p_mask = pred_ids > 0
+    g_mask = gt_ids > 0
+    p_areas = inter.sum(axis=1)[p_mask].astype(np.float64)
+    g_areas = inter.sum(axis=0)[g_mask].astype(np.float64)
+    inter_fg = inter[np.ix_(p_mask, g_mask)].astype(np.float64)
+
+    n_pred, n_gt = int(p_mask.sum()), int(g_mask.sum())
+    if n_pred == 0 or n_gt == 0:
+        tp = 0
+        mean_iou = 0.0
+    elif criterion == "iou":
+        union = p_areas[:, None] + g_areas[None, :] - inter_fg
+        iou = np.where(union > 0, inter_fg / union, 0.0)
+        rows, cols = linear_sum_assignment(-iou)
+        matched = iou[rows, cols] >= iou_threshold
+        tp = int(matched.sum())
+        mean_iou = float(iou[rows, cols][matched].mean()) if tp else 0.0
+    elif criterion == "center":
+        fg_gt_ids = gt_ids[g_mask]
+        fg_pred_ids = pred_ids[p_mask]
+        hits = set()
+        used_pred = set()
+        for j, gid in enumerate(fg_gt_ids):
+            coords = np.argwhere(gt == gid)
+            cz, cy, cx = np.round(coords.mean(axis=0)).astype(int)
+            pid = pred[cz, cy, cx]
+            if pid > 0 and pid not in used_pred:
+                hits.add(gid)
+                used_pred.add(pid)
+        tp = len(hits)
+        mean_iou = float("nan")
+    else:
+        raise ValueError(f"unknown criterion {criterion!r}")
+
+    fp = n_pred - tp
+    fn = n_gt - tp
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / n_gt if n_gt else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    return {
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "n_pred": n_pred,
+        "n_gt": n_gt,
+        "mean_matched_iou": mean_iou,
+    }

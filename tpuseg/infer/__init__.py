@@ -1,0 +1,12 @@
+from tpuseg.infer.tiles import tiled_forward
+from tpuseg.infer.pipeline import infer_volume, make_infer_fn
+from tpuseg.infer.sharded import make_sharded_infer_fn, make_z_mesh, shard_volume
+
+__all__ = [
+    "tiled_forward",
+    "infer_volume",
+    "make_infer_fn",
+    "make_sharded_infer_fn",
+    "make_z_mesh",
+    "shard_volume",
+]

@@ -1,0 +1,74 @@
+"""Fused end-to-end inference (NORTH-STAR config 3: "normalize -> net ->
+post-proc in one jit ... no host round-trip").
+
+``make_infer_fn`` builds a single jitted callable
+
+    raw volume (D, H, W) -> int32 instance labels (D, H, W)
+
+that chains percentile normalization, the tiled halo-overlap net sweep,
+sigmoid, peak-NMS seeding, seeded watershed, size filtering and compact
+1..K relabeling — the reference's whole test.py + post_process() pipeline
+(SURVEY.md §3.2) as one XLA program. The north-star Mvoxels/sec metric is
+measured over exactly this function (bench.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuseg.core import Config
+from tpuseg.core.dtypes import resolve
+from tpuseg.data.normalize import percentile_normalize
+from tpuseg.infer.tiles import tiled_forward
+from tpuseg.ops import size_filter_and_compact, watershed
+
+
+def _postprocess(fg_prob, peak_prob, cfg: Config):
+    labels = watershed(
+        fg_prob,
+        peak_prob,
+        peak_threshold=cfg.postproc.peak_threshold,
+        fg_threshold=cfg.postproc.fg_threshold,
+        peak_radius=cfg.postproc.nms_radius,
+        flood_iters=cfg.postproc.flood_iters,
+        method=cfg.postproc.method,
+    )
+    # fused histogram pass == size_filter + compact_relabel (same numbering)
+    return size_filter_and_compact(labels, cfg.postproc.min_size)
+
+
+def make_infer_fn(model, cfg: Config, normalize: bool = True):
+    """Returns jitted ``infer(variables, volume) -> int32 labels``."""
+    compute_dtype = resolve(cfg.infer.compute_dtype)
+
+    def apply_fn(variables, x):
+        return model.apply(variables, x)
+
+    @jax.jit
+    def infer(variables, volume):
+        vol = volume.astype(jnp.float32)
+        if normalize:
+            vol = percentile_normalize(vol, cfg.data.normalize_pcts)
+        out = tiled_forward(
+            apply_fn,
+            variables,
+            vol,
+            tile=cfg.infer.tile,
+            halo=cfg.infer.halo,
+            tile_batch=cfg.infer.tile_batch,
+            compute_dtype=compute_dtype,
+        )
+        fg_prob = jax.nn.sigmoid(out["fg_logits"])
+        peak_prob = jax.nn.sigmoid(out["peak_logits"])
+        return _postprocess(fg_prob, peak_prob, cfg)
+
+    return infer
+
+
+def infer_volume(model, variables, volume, cfg: Config, normalize: bool = True):
+    """One-shot convenience wrapper around :func:`make_infer_fn`."""
+    return make_infer_fn(model, cfg, normalize=normalize)(variables, jnp.asarray(volume))

@@ -1,0 +1,144 @@
+"""Tiled halo-overlap whole-volume inference (SURVEY.md C10, NORTH-STAR
+config 2: "sliding-window whole-volume inference becomes a tiled halo-overlap
+scan").
+
+The reference's test.py loop crops tiles on the host, runs the net per tile
+on GPU and blends overlapping logits back on CPU (SURVEY.md §3.2 — the
+per-tile host<->device ping-pong is its bottleneck). Here the whole sweep is
+ONE XLA program:
+
+  * the padded volume lives in HBM; a ``lax.scan`` walks a static tile grid
+  * each step dynamic-slices a (tile + 2*halo) block, runs the net on a
+    ``tile_batch`` of such blocks (keeps the MXU fed), crops the valid core
+    and dynamic-update-slices it into the output accumulators
+  * no blending is needed: cores partition the volume exactly, and with halo
+    >= the net's receptive-field radius the result is voxel-identical to
+    ``crop(net(edge_pad(volume, halo)))`` — the whole-volume forward under
+    the same edge-replication boundary convention (eval-mode BatchNorm makes
+    the net tile-independent; tests/unit/test_tiles.py asserts exact equality
+    everywhere, and interior equality vs. the plain zero-SAME forward). At
+    volume borders NO tiling scheme can reproduce a plain SAME forward
+    exactly (intermediate activations in the implicit zero pad are nonzero),
+    so the edge-replicated convention is the defined semantics — same
+    situation as the reference's border tiles.
+
+Zero host transfers inside the sweep; Python only builds the (static) origin
+table.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def measure_rf_radius(model, variables, probe_size: int = 96, tol: float = 1e-7) -> int:
+    """Empirically measure the net's receptive-field radius (for halo sizing).
+
+    Perturbs the center voxel of a zero volume and finds the farthest output
+    voxel that changes. Halo >= this radius makes tiled_forward voxel-exact
+    (tests/unit/test_tiles.py). Measured radii for this U-Net family:
+    2 levels -> 11, 3 -> 27, 4 -> 53 (roughly doubling per level).
+    """
+    c = probe_size // 2
+    x0 = jnp.zeros((1, probe_size, probe_size, probe_size, 1))
+    x1 = x0.at[0, c, c, c, 0].set(10.0)
+    d = jnp.abs(
+        model.apply(variables, x1)["fg_logits"]
+        - model.apply(variables, x0)["fg_logits"]
+    )[0]
+    nz = np.argwhere(np.asarray(d) > tol)
+    if nz.size == 0:
+        return 0
+    return int(np.abs(nz - c).max())
+
+
+def tile_grid(shape, tile) -> np.ndarray:
+    """Static (N, 3) int32 table of core-tile origins covering ``shape``."""
+    counts = [_cdiv(s, t) for s, t in zip(shape, tile)]
+    origins = [
+        (d * tile[0], h * tile[1], w * tile[2])
+        for d in range(counts[0])
+        for h in range(counts[1])
+        for w in range(counts[2])
+    ]
+    return np.asarray(origins, np.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "tile", "halo", "tile_batch", "compute_dtype"),
+)
+def tiled_forward(
+    apply_fn,                      # (variables, x: (B,d,h,w,1)) -> {"fg_logits","peak_logits"}
+    variables,
+    volume: jnp.ndarray,           # (D, H, W) float, already normalized
+    tile: Tuple[int, int, int] = (32, 128, 128),
+    halo: int = 16,
+    tile_batch: int = 1,
+    compute_dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """Whole-volume fg/peak logits via a halo-overlap tile scan.
+
+    Returns {"fg_logits": (D,H,W) fp32, "peak_logits": (D,H,W) fp32}.
+    """
+    D, H, W = volume.shape
+    td, th, tw = tile
+    Dp, Hp, Wp = _cdiv(D, td) * td, _cdiv(H, th) * th, _cdiv(W, tw) * tw
+
+    # pad: halo on the low side, halo + round-up on the high side (edge values
+    # replicate, matching the reference's reflect/edge padding of border tiles)
+    pad = ((halo, halo + Dp - D), (halo, halo + Hp - H), (halo, halo + Wp - W))
+    vol_pad = jnp.pad(volume.astype(compute_dtype), pad, mode="edge")
+
+    origins = tile_grid((Dp, Hp, Wp), tile)
+    n = origins.shape[0]
+    nb = _cdiv(n, tile_batch)
+    if n % tile_batch:
+        # repeat the last origin; duplicate writebacks land on the same core
+        origins = np.concatenate(
+            [origins, np.repeat(origins[-1:], nb * tile_batch - n, axis=0)]
+        )
+    origins = jnp.asarray(origins.reshape(nb, tile_batch, 3))
+
+    block = (td + 2 * halo, th + 2 * halo, tw + 2 * halo)
+
+    def step(carry, orig_b):
+        fg_acc, pk_acc = carry
+
+        def get(o):
+            return lax.dynamic_slice(vol_pad, (o[0], o[1], o[2]), block)
+
+        blocks = jax.vmap(get)(orig_b)[..., None]          # (tb, bd, bh, bw, 1)
+        out = apply_fn(variables, blocks)
+        fg = out["fg_logits"][:, halo : halo + td, halo : halo + th, halo : halo + tw]
+        pk = out["peak_logits"][:, halo : halo + td, halo : halo + th, halo : halo + tw]
+
+        def write(i, accs):
+            fa, pa = accs
+            o = orig_b[i]
+            fa = lax.dynamic_update_slice(fa, fg[i], (o[0], o[1], o[2]))
+            pa = lax.dynamic_update_slice(pa, pk[i], (o[0], o[1], o[2]))
+            return fa, pa
+
+        return lax.fori_loop(0, tile_batch, write, (fg_acc, pk_acc)), None
+
+    init = (
+        jnp.zeros((Dp, Hp, Wp), jnp.float32),
+        jnp.zeros((Dp, Hp, Wp), jnp.float32),
+    )
+    (fg_acc, pk_acc), _ = lax.scan(step, init, origins)
+    return {
+        "fg_logits": fg_acc[:D, :H, :W],
+        "peak_logits": pk_acc[:D, :H, :W],
+    }

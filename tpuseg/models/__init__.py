@@ -1,3 +1,3 @@
-from tpuseg.models.unet3d import UNet3D, build_model, init_params
+from tpuseg.models.unet3d import UNet3D, build_model, init_params, init_variables
 
-__all__ = ["UNet3D", "build_model", "init_params"]
+__all__ = ["UNet3D", "build_model", "init_params", "init_variables"]

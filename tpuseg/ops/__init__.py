@@ -1,7 +1,7 @@
 from tpuseg.ops.peaks import peak_nms, seed_labels_from_peaks
 from tpuseg.ops.watershed import ascent_labels, flood_labels, watershed
 from tpuseg.ops.components import connected_components
-from tpuseg.ops.filter import label_sizes, size_filter
+from tpuseg.ops.filter import label_sizes, size_filter, size_filter_and_compact
 from tpuseg.ops.relabel import compact_relabel
 
 __all__ = [
@@ -13,5 +13,6 @@ __all__ = [
     "connected_components",
     "label_sizes",
     "size_filter",
+    "size_filter_and_compact",
     "compact_relabel",
 ]

@@ -31,8 +31,17 @@ def make_data_mesh(axis: str = "data", devices=None) -> Mesh:
 
 def make_dp_train_step(model, cfg: Config, mesh: Mesh):
     """jitted (state, batch, rng) -> (state, metrics) with batch axis sharded
-    over the mesh's data axis; state replicated; grads pmean'd inside."""
+    over the mesh's data axis; state replicated; grads pmean'd inside.
+
+    The model is rebuilt with ``bn_axis`` bound to the mesh axis so BatchNorm
+    statistics are computed over the GLOBAL batch (pmean over ICI), keeping
+    DP training numerically identical to single-device (tests/distributed/).
+    """
     axis = mesh.axis_names[0]
+    if getattr(model, "bn_axis", None) != axis and model.config.norm == "batch":
+        from tpuseg.models import build_model
+
+        model = build_model(model.config, bn_axis=axis)
     inner = make_train_step(model, cfg, axis_name=axis)
 
     def mapped(state, batch, rng):

@@ -47,10 +47,14 @@ def train(
 
     start_step = 0
     if resume and mgr.latest_step() is not None:
-        params, opt_state, meta = mgr.restore(state.params, state.opt_state)
+        params, opt_state, meta, batch_stats = mgr.restore(
+            state.params, state.opt_state,
+            batch_stats_template=state.batch_stats,
+        )
         state = state.replace(
             params=params,
             opt_state=opt_state,
+            batch_stats=batch_stats if batch_stats is not None else state.batch_stats,
             step=jax.numpy.asarray(meta["step"], jax.numpy.int32),
         )
         sampler.load_state_dict(meta["sampler"])
@@ -96,6 +100,7 @@ def train(
                     "sampler": sampler.state_dict(),
                     "config": cfg.to_dict(),
                 },
+                batch_stats=jax.device_get(state.batch_stats),
             )
     mgr.wait()
     logger.close()

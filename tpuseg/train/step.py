@@ -5,14 +5,17 @@ synthesis per batch, then an eager CUDA forward/backward (SURVEY.md §3.1).
 Here the ENTIRE step — normalization, weak-target synthesis, augmentation,
 forward, loss, backward, optimizer update — is one jit-compiled XLA program
 (NORTH-STAR: "Preprocessing ... fuses into the same jit-compiled graph ...
-zero Python in the hot loop"). The host only feeds raw uint/float patches and
+zero Python in the hot loop"). The host only feeds raw float patches and
 integer annotations.
+
+State carries ``batch_stats`` (BatchNorm running statistics) alongside params
+and optimizer state; under DP the stats sync across shards via the BN
+``axis_name`` (see models.blocks).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -29,13 +32,19 @@ from tpuseg.losses import total_loss
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
+    batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
-    def apply_gradients(self, grads):
+    def apply_gradients(self, grads, batch_stats):
         updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
         params = optax.apply_updates(self.params, updates)
-        return self.replace(step=self.step + 1, params=params, opt_state=opt_state)
+        return self.replace(
+            step=self.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -53,13 +62,15 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_train_state(model, cfg: Config, rng: jax.Array) -> TrainState:
-    from tpuseg.models import init_params
+    from tpuseg.models import init_variables
 
-    params = init_params(model, rng, patch_shape=cfg.data.patch_size)
+    variables = init_variables(model, rng, patch_shape=cfg.data.patch_size)
+    params = variables["params"]
     tx = make_optimizer(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
+        batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
         tx=tx,
     )
@@ -89,29 +100,35 @@ def prepare_batch(batch: Dict[str, jnp.ndarray], cfg: Config, rng: jax.Array):
     return imgs[..., None], tgts
 
 
-def loss_fn(params, model, batch, cfg: Config, rng: jax.Array):
+def loss_fn(params, batch_stats, model, batch, cfg: Config, rng: jax.Array):
     imgs, tgts = prepare_batch(batch, cfg, rng)
-    out = model.apply({"params": params}, imgs)
-    return total_loss(out, tgts, cfg.train)
+    out, new_vars = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        imgs, train=True, mutable=["batch_stats"],
+    )
+    loss, metrics = total_loss(out, tgts, cfg.train)
+    return loss, (metrics, new_vars["batch_stats"])
 
 
 def make_train_step(model, cfg: Config, axis_name: str | None = None):
     """Build the (state, batch, rng) -> (state, metrics) step.
 
-    ``axis_name``: if set, gradients and metrics are psum-averaged over that
-    mapped mesh axis (used by train.dp under shard_map).
+    ``axis_name``: if set, gradients and metrics are pmean-averaged over that
+    mapped mesh axis (used by train.dp under shard_map). BatchNorm statistics
+    sync inside the model via its own axis_name; the model passed here must
+    have been built with ``bn_axis=axis_name`` in that case.
     """
 
     def step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, model, batch, cfg, rng
-        )
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, model, batch, cfg, rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
         gnorm = optax.global_norm(grads)
-        state = state.apply_gradients(grads)
+        state = state.apply_gradients(grads, new_stats)
         metrics = dict(metrics, grad_norm=gnorm)
         return state, metrics
 
