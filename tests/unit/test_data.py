@@ -90,3 +90,12 @@ def test_annotations_roundtrip(tmp_path, vol):
     c, h = load_annotations(path)
     assert np.allclose(c, vol.centers)
     assert np.allclose(h, vol.half_sizes)
+
+
+def test_histogram_percentile_close_to_exact(vol):
+    from tpuseg.data.normalize import histogram_percentile_normalize
+
+    x = vol.image * 517.0 + 33.0
+    exact = np.asarray(percentile_normalize(x))
+    approx = np.asarray(histogram_percentile_normalize(x))
+    assert np.abs(exact - approx).max() < 0.01

@@ -24,6 +24,10 @@ class ModelConfig:
     num_groups: int = 8
     activation: str = "relu"
     head_features: int = 32       # width of the shared head trunk
+    # conv schedule: "zdecomp" = sum of per-z-tap 2D convs over the merged
+    # (N*D) batch — ~identical math, vastly better MXU utilization than XLA's
+    # native 3D lowering (models/conv3d.py); "native" = lax 3D conv
+    conv_impl: str = "zdecomp"
     # dtype policy: fp32 params, bf16 compute (flipped off for parity tests)
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -39,6 +43,10 @@ class PostprocConfig:
     min_size: int = 27            # drop instances smaller than this many voxels
     flood_iters: int = 96         # cap for the flood-fill fixed point (~max object diameter)
     method: str = "ascent"        # "ascent" (pointer-jumping) | "flood" (iterative)
+    ascent_rounds: int = 8        # pointer-jump rounds; resolves ascent paths up to
+                                  # 2^rounds voxels long (paths are bounded by the
+                                  # basin's geodesic size, NOT the volume size —
+                                  # 8 covers instances far larger than any nucleus)
 
 
 @dataclass(frozen=True)

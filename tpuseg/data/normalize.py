@@ -12,8 +12,31 @@ import jax.numpy as jnp
 
 
 def percentile_normalize(vol, pcts=(1.0, 99.8), eps: float = 1e-6):
-    """Map [p_lo, p_hi] percentiles of ``vol`` to [0, 1], clipped."""
+    """Map [p_lo, p_hi] percentiles of ``vol`` to [0, 1], clipped. Exact
+    (sort-based) — use for training patches and parity tests."""
     vol = jnp.asarray(vol, jnp.float32)
     lo = jnp.percentile(vol, pcts[0])
     hi = jnp.percentile(vol, pcts[1])
     return jnp.clip((vol - lo) / jnp.maximum(hi - lo, eps), 0.0, 1.0)
+
+
+def histogram_percentile_normalize(vol, pcts=(1.0, 99.8), bins: int = 4096,
+                                   eps: float = 1e-6):
+    """Percentile normalization from a 4096-bin histogram: O(N) scatter +
+    O(bins) scan instead of an O(N log N) sort — the whole-volume inference
+    path uses this (error < range/bins, invisible after sigmoid+threshold).
+    Same math as the psum'd version in infer/sharded.py, single-device."""
+    vol = jnp.asarray(vol, jnp.float32)
+    lo = jnp.min(vol)
+    hi = jnp.max(vol)
+    span = jnp.maximum(hi - lo, eps)
+    idx = jnp.clip(((vol - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
+    hist = jnp.zeros((bins,), jnp.int32).at[idx.ravel()].add(1)
+    cdf = jnp.cumsum(hist.astype(jnp.float32))
+
+    def pct_value(p):
+        b = jnp.searchsorted(cdf, cdf[-1] * (p / 100.0))
+        return lo + (b.astype(jnp.float32) + 0.5) / bins * span
+
+    p_lo, p_hi = pct_value(pcts[0]), pct_value(pcts[1])
+    return jnp.clip((vol - p_lo) / jnp.maximum(p_hi - p_lo, eps), 0.0, 1.0)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from tpuseg.core import Config
 from tpuseg.core.dtypes import resolve
-from tpuseg.data.normalize import percentile_normalize
+from tpuseg.data.normalize import histogram_percentile_normalize
 from tpuseg.infer.tiles import tiled_forward
 from tpuseg.ops import size_filter_and_compact, watershed
 
@@ -36,6 +36,7 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         peak_radius=cfg.postproc.nms_radius,
         flood_iters=cfg.postproc.flood_iters,
         method=cfg.postproc.method,
+        ascent_rounds=cfg.postproc.ascent_rounds,
     )
     # fused histogram pass == size_filter + compact_relabel (same numbering)
     return size_filter_and_compact(labels, cfg.postproc.min_size)
@@ -52,7 +53,7 @@ def make_infer_fn(model, cfg: Config, normalize: bool = True):
     def infer(variables, volume):
         vol = volume.astype(jnp.float32)
         if normalize:
-            vol = percentile_normalize(vol, cfg.data.normalize_pcts)
+            vol = histogram_percentile_normalize(vol, cfg.data.normalize_pcts)
         out = tiled_forward(
             apply_fn,
             variables,

@@ -120,6 +120,7 @@ def make_sharded_infer_fn(
             peak_radius=cfg.postproc.nms_radius,
             flood_iters=cfg.postproc.flood_iters,
             method=cfg.postproc.method,
+            ascent_rounds=cfg.postproc.ascent_rounds,
         )
         labels_ext = size_filter(labels_ext, cfg.postproc.min_size)
         # local ext index -> global voxel index (constant shift keeps order)

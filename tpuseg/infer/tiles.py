@@ -113,6 +113,11 @@ def tiled_forward(
 
     block = (td + 2 * halo, th + 2 * halo, tw + 2 * halo)
 
+    # accumulate logits in the compute dtype: the sweep is HBM-bandwidth
+    # bound, so fp32 accumulators would double the writeback traffic for no
+    # benefit (logits are head outputs, not running sums)
+    acc_dtype = compute_dtype
+
     def step(carry, orig_b):
         fg_acc, pk_acc = carry
 
@@ -127,17 +132,18 @@ def tiled_forward(
         def write(i, accs):
             fa, pa = accs
             o = orig_b[i]
-            fa = lax.dynamic_update_slice(fa, fg[i], (o[0], o[1], o[2]))
-            pa = lax.dynamic_update_slice(pa, pk[i], (o[0], o[1], o[2]))
+            fa = lax.dynamic_update_slice(fa, fg[i].astype(acc_dtype), (o[0], o[1], o[2]))
+            pa = lax.dynamic_update_slice(pa, pk[i].astype(acc_dtype), (o[0], o[1], o[2]))
             return fa, pa
 
         return lax.fori_loop(0, tile_batch, write, (fg_acc, pk_acc)), None
 
     init = (
-        jnp.zeros((Dp, Hp, Wp), jnp.float32),
-        jnp.zeros((Dp, Hp, Wp), jnp.float32),
+        jnp.zeros((Dp, Hp, Wp), acc_dtype),
+        jnp.zeros((Dp, Hp, Wp), acc_dtype),
     )
     (fg_acc, pk_acc), _ = lax.scan(step, init, origins)
+    # returned in acc_dtype — downstream sigmoid/threshold fuse the upcast
     return {
         "fg_logits": fg_acc[:D, :H, :W],
         "peak_logits": pk_acc[:D, :H, :W],

@@ -27,6 +27,8 @@ from typing import Any, Callable, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tpuseg.models.conv3d import Conv3D
+
 Dtype = Any
 
 
@@ -44,31 +46,38 @@ class ConvBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     bn_axis: Optional[str] = None  # mesh axis for cross-shard stat sync
+    conv_impl: str = "zdecomp"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = _activation(self.activation)
         for i in range(2):
-            x = nn.Conv(
+            x = Conv3D(
                 self.features,
                 kernel_size=(3, 3, 3),
                 padding="SAME",
                 use_bias=(self.norm == "none"),
+                impl=self.conv_impl,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"conv{i}",
             )(x)
-            # norms run in fp32 for numerical stability, back to compute dtype
+            # Train: batch statistics in fp32 for stability. Eval: BN is just
+            # an affine map from frozen stats — run it in the compute dtype so
+            # no fp32 round-trip materializes (the forward is HBM-bandwidth
+            # bound; each avoided fp32 pass is 3x the tensor's bytes) and XLA
+            # fuses it into the surrounding bf16 chain.
             if self.norm == "batch":
+                bn_dtype = jnp.float32 if train else self.dtype
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
-                    dtype=jnp.float32,
+                    dtype=bn_dtype,
                     param_dtype=self.param_dtype,
                     axis_name=self.bn_axis if train else None,
                     name=f"norm{i}",
-                )(x.astype(jnp.float32)).astype(self.dtype)
+                )(x.astype(bn_dtype)).astype(self.dtype)
             elif self.norm == "group":
                 x = nn.GroupNorm(
                     num_groups=min(self.num_groups, self.features),
@@ -86,14 +95,16 @@ class Down(nn.Module):
     features: int
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    conv_impl: str = "zdecomp"
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
+        return Conv3D(
             self.features,
             kernel_size=(2, 2, 2),
             strides=(2, 2, 2),
             padding="VALID",
+            impl=self.conv_impl,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="down",
@@ -121,14 +132,16 @@ class Up(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     bn_axis: Optional[str] = None
+    conv_impl: str = "zdecomp"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         x = upsample2x(x)
-        x = nn.Conv(
+        x = Conv3D(
             self.features,
             kernel_size=(2, 2, 2),
             padding="SAME",
+            impl=self.conv_impl,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="up_conv",
@@ -142,5 +155,6 @@ class Up(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             bn_axis=self.bn_axis,
+            conv_impl=self.conv_impl,
             name="block",
         )(x, train=train)

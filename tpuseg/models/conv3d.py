@@ -1,0 +1,110 @@
+"""TPU-fast 3D convolution: z-decomposition into 2D convs.
+
+Measured on a v5e: XLA's native 3D conv lowering runs the default U-Net
+forward at ~1.7% MXU utilization (218 ms for a 4x(64,160,160) block). The
+same convolution expressed as a sum of ``kd`` 2D convolutions — one per
+z-tap, each over the merged (N*D, H, W, C) batch — hits the TPU's
+well-optimized NHWC 2D conv path:
+
+    y[:, z] = sum_dz conv2d(x[:, z*sz + dz], kernel[dz])
+
+This is EXACTLY the same linear map with the same (kd, kh, kw, Ci, Co)
+parameter layout as flax ``nn.Conv`` (so checkpoints are interchangeable);
+only the compute schedule differs. ``Conv3D`` is a drop-in module with flax
+Conv's param naming (kernel/bias) and XLA's SAME padding semantics
+(lo = floor((k-1)/2), hi = ceil((k-1)/2)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+Dtype = Any
+
+
+def conv3d_zdecomp(
+    x: jnp.ndarray,        # (N, D, H, W, Ci)
+    kernel: jnp.ndarray,   # (kd, kh, kw, Ci, Co)
+    strides: Tuple[int, int, int] = (1, 1, 1),
+    padding: str = "SAME",
+) -> jnp.ndarray:
+    n, d, h, w, ci = x.shape
+    kd, kh, kw, _, co = kernel.shape
+    sz, sy, sx = strides
+
+    if padding == "SAME":
+        lo = (kd - 1) // 2
+        hi = kd - 1 - lo
+        if lo or hi:
+            x = jnp.pad(x, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
+    elif padding != "VALID":
+        raise ValueError(f"unsupported padding {padding!r}")
+
+    dp = x.shape[1]
+    do = (dp - kd) // sz + 1
+
+    out = None
+    for dz in range(kd):
+        limit = dz + sz * (do - 1) + 1
+        xs = lax.slice_in_dim(x, dz, limit, stride=sz, axis=1)  # (N, do, H, W, Ci)
+        xs2 = xs.reshape(n * do, h, w, ci)
+        y = lax.conv_general_dilated(
+            xs2,
+            kernel[dz],
+            window_strides=(sy, sx),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = y if out is None else out + y
+    ho, wo = out.shape[1], out.shape[2]
+    return out.reshape(n, do, ho, wo, co)
+
+
+class Conv3D(nn.Module):
+    """Drop-in 3D conv with flax nn.Conv's parameter layout, computed via
+    z-decomposed 2D convs (``impl="zdecomp"``) or XLA's native 3D conv
+    (``impl="native"``)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1, 1)
+    padding: str = "SAME"
+    use_bias: bool = True
+    impl: str = "zdecomp"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.kernel_size
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kd, kh, kw, ci, self.features),
+            self.param_dtype,
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if self.impl == "zdecomp":
+            y = conv3d_zdecomp(x, kernel, tuple(self.strides), self.padding)
+        elif self.impl == "native":
+            y = lax.conv_general_dilated(
+                x, kernel,
+                window_strides=tuple(self.strides),
+                padding=self.padding,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+        else:
+            raise ValueError(f"unknown conv impl {self.impl!r}")
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        return y

@@ -42,6 +42,7 @@ class UNet3D(nn.Module):
             dtype=dtype,
             param_dtype=pdtype,
             bn_axis=self.bn_axis,
+            conv_impl=cfg.conv_impl,
         )
         if x.ndim == 4:  # (N, D, H, W) -> add channel dim
             x = x[..., None]
@@ -52,7 +53,8 @@ class UNet3D(nn.Module):
         for i, f in enumerate(feats[:-1]):
             x = ConvBlock(f, name=f"enc{i}", **kw)(x, train=train)
             skips.append(x)
-            x = Down(feats[i + 1], dtype=dtype, param_dtype=pdtype, name=f"down{i}")(x)
+            x = Down(feats[i + 1], dtype=dtype, param_dtype=pdtype,
+                     conv_impl=cfg.conv_impl, name=f"down{i}")(x)
 
         x = ConvBlock(feats[-1], name="bottleneck", **kw)(x, train=train)
 
@@ -60,8 +62,12 @@ class UNet3D(nn.Module):
             x = Up(feats[i], name=f"up{i}", **kw)(x, skips[i], train=train)
 
         trunk = ConvBlock(cfg.head_features, name="head_trunk", **kw)(x, train=train)
-        fg = nn.Conv(1, (1, 1, 1), dtype=dtype, param_dtype=pdtype, name="fg_head")(trunk)
-        peak = nn.Conv(1, (1, 1, 1), dtype=dtype, param_dtype=pdtype, name="peak_head")(trunk)
+        from tpuseg.models.conv3d import Conv3D
+
+        fg = Conv3D(1, (1, 1, 1), impl=cfg.conv_impl, dtype=dtype,
+                    param_dtype=pdtype, name="fg_head")(trunk)
+        peak = Conv3D(1, (1, 1, 1), impl=cfg.conv_impl, dtype=dtype,
+                      param_dtype=pdtype, name="peak_head")(trunk)
         return {
             "fg_logits": fg[..., 0].astype(jnp.float32),
             "peak_logits": peak[..., 0].astype(jnp.float32),

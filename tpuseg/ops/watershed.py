@@ -68,6 +68,7 @@ def ascent_labels(
     potential: jnp.ndarray,
     fg_mask: jnp.ndarray,
     seed_mask: jnp.ndarray | None = None,
+    rounds: int | None = None,
 ) -> jnp.ndarray:
     """Watershed-by-steepest-ascent. Returns int32 labels = root linear
     index + 1 on foreground, 0 on background.
@@ -75,11 +76,19 @@ def ascent_labels(
     If ``seed_mask`` is given, seed voxels are forced to be roots; basins
     whose root is NOT a seed keep their (non-seed) root label — callers that
     want them removed use :func:`watershed`, which drops and re-floods them.
+
+    ``rounds`` pointer-jump iterations resolve ascent paths up to 2^rounds
+    voxels long. Paths are bounded by the basin's geodesic extent, so the
+    PostprocConfig default (8 -> 256-voxel paths) is generous for nuclei;
+    None falls back to the worst-case log2(N) bound. Each round is one
+    random gather over the volume — the dominant post-proc cost — so don't
+    overshoot (measured: 25 rounds = 5.4 s on a 25 MVoxel stack, 8 = ~1.7 s).
     """
     shape = potential.shape
     n = potential.size
     parent = _steepest_parent(potential, fg_mask, self_sticky=seed_mask)
-    rounds = max(1, math.ceil(math.log2(max(n, 2))))
+    if rounds is None:
+        rounds = max(1, math.ceil(math.log2(max(n, 2))))
     root = _pointer_jump(parent.ravel(), rounds).reshape(shape)
     return jnp.where(fg_mask, root + 1, 0).astype(jnp.int32)
 
@@ -138,7 +147,12 @@ def flood_labels(
     return labels
 
 
-@partial(jax.jit, static_argnames=("peak_radius", "flood_iters", "method", "static_shapes"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "peak_radius", "flood_iters", "method", "static_shapes", "ascent_rounds",
+    ),
+)
 def watershed(
     fg_prob: jnp.ndarray,
     peak_prob: jnp.ndarray,
@@ -148,6 +162,7 @@ def watershed(
     flood_iters: int = 96,
     method: str = "ascent",
     static_shapes: bool = False,
+    ascent_rounds: int | None = None,
 ) -> jnp.ndarray:
     """Full instance extraction: peak NMS seeds -> seeded watershed over the
     foreground mask. Returns int32 labels (root-index labels; call
@@ -164,7 +179,8 @@ def watershed(
     idx = linear_index(fg_prob.shape)
 
     if method == "ascent":
-        labels = ascent_labels(peak_prob, fg_mask, seed_mask=seeds)
+        labels = ascent_labels(peak_prob, fg_mask, seed_mask=seeds,
+                               rounds=ascent_rounds)
         # Drop basins whose root is not a seed, then flood those voxels into
         # adjacent seeded basins (absorption handles sub-threshold local maxima).
         root = labels - 1

@@ -1,4 +1,4 @@
 from tpuseg.utils.logging import MetricsLogger
-from tpuseg.utils.profiling import Timer, trace
+from tpuseg.utils.profiling import Timer, hard_sync, trace
 
-__all__ = ["MetricsLogger", "Timer", "trace"]
+__all__ = ["MetricsLogger", "Timer", "hard_sync", "trace"]

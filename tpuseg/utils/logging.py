@@ -15,13 +15,22 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, path: Optional[str] = None, echo: bool = True):
+    def __init__(self, path: Optional[str] = None, echo: bool = True,
+                 tensorboard_dir: Optional[str] = None):
         self.path = path
         self.echo = echo
         self._fh = None
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._fh = open(path, "a", buffering=1)
+        self._tb = None
+        if tensorboard_dir:
+            try:  # optional: tf is in this image but stays an opt-in dep
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except ImportError:
+                self._tb = None
         self._t0 = time.perf_counter()
 
     def log(self, step: int, metrics: Dict[str, float], **extra) -> None:
@@ -34,6 +43,12 @@ class MetricsLogger:
         line = json.dumps(rec)
         if self._fh:
             self._fh.write(line + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, val in metrics.items():
+                    tf.summary.scalar(k, float(val), step=int(step))
         if self.echo:
             print(line, file=sys.stderr)
 
@@ -41,3 +56,6 @@ class MetricsLogger:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None

@@ -22,10 +22,23 @@ def trace(log_dir: str | None):
         yield
 
 
+def hard_sync(x):
+    """Force completion of a computation.
+
+    On the axon TPU platform ``jax.block_until_ready`` can return before
+    execution finishes; transferring one element is the reliable barrier.
+    """
+    import numpy as np
+
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[0])
+    return x
+
+
 class Timer:
     """Median-of-k wall timer with device synchronization."""
 
-    def __init__(self, sync=jax.block_until_ready):
+    def __init__(self, sync=hard_sync):
         self.sync = sync
 
     def time(self, fn, *args, iters: int = 5, warmup: int = 2, **kw) -> float:
