@@ -7,7 +7,7 @@ import pytest
 
 from tpuseg.core import ModelConfig
 from tpuseg.models import build_model, init_variables
-from tpuseg.models.conv3d import conv3d_zdecomp
+from tpuseg.models.conv3d import conv3d_zdecomp, conv3d_zpack
 
 
 @pytest.mark.parametrize("k,s,pad", [
@@ -24,10 +24,11 @@ def test_zdecomp_matches_lax_conv(k, s, pad):
         x, w, window_strides=s, padding=pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
-    got = conv3d_zdecomp(x, w, s, pad)
-    assert got.shape == want.shape
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
+    for fn in (conv3d_zdecomp, conv3d_zpack):
+        got = fn(x, w, s, pad)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_model_outputs_identical_across_impls():

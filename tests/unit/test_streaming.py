@@ -1,0 +1,85 @@
+"""Host-streamed chunked inference == single-shot fused pipeline
+(infer/streaming.py; the single-chip leg of NORTH-STAR config 5)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from tpuseg.core import Config, InferConfig, PostprocConfig
+from tpuseg.data import synthesize_volume
+from tpuseg.data.normalize import percentile_normalize
+from tpuseg.infer import make_infer_fn, stream_infer
+
+
+class AnalyticNet(nn.Module):
+    """Pointwise logits from blob intensities (RF=0) — see
+    tests/distributed/test_sharded_infer.py for why parity tests use this."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        v = x[..., 0].astype(jnp.float32)
+        return {"fg_logits": (v - 0.35) * 25.0, "peak_logits": (v - 0.75) * 25.0}
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(
+        infer=InferConfig(tile=(8, 32, 32), halo=4, compute_dtype="float32",
+                          shard_halo=8),
+        postproc=PostprocConfig(peak_threshold=0.5, fg_threshold=0.5,
+                                nms_radius=2, min_size=5, flood_iters=16),
+    )
+
+
+@pytest.fixture(scope="module")
+def volume():
+    return synthesize_volume(shape=(64, 32, 32), num_instances=8,
+                             radius_range=(3.0, 5.0), noise=0.0, seed=4)
+
+
+def test_stream_equals_single_shot(cfg, volume):
+    model = AnalyticNet()
+    variables = {"params": {}}
+    v = np.asarray(percentile_normalize(volume.image))
+
+    want = np.asarray(make_infer_fn(model, cfg, normalize=False)(
+        variables, jnp.asarray(v)))
+    assert want.max() >= 6
+
+    got = stream_infer(model, cfg, variables, v, chunk_z=16, halo=8,
+                       normalize=False)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_with_normalization_close(cfg, volume):
+    model = AnalyticNet()
+    variables = {"params": {}}
+    raw = volume.image * 900.0 + 100.0
+    want = np.asarray(make_infer_fn(model, cfg, normalize=True)(
+        variables, jnp.asarray(raw)))
+    got = stream_infer(model, cfg, variables, raw, chunk_z=16, halo=8,
+                       normalize=True)
+    assert (got == want).mean() > 0.999
+
+
+def test_stream_uneven_last_chunk(cfg, volume):
+    """D=64 with chunk_z=24 -> chunks 24/24/16; padding path must be exact."""
+    model = AnalyticNet()
+    variables = {"params": {}}
+    v = np.asarray(percentile_normalize(volume.image))
+    want = np.asarray(make_infer_fn(model, cfg, normalize=False)(
+        variables, jnp.asarray(v)))
+    got = stream_infer(model, cfg, variables, v, chunk_z=24, halo=8,
+                       normalize=False)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_into_preallocated_out(cfg, volume):
+    model = AnalyticNet()
+    v = np.asarray(percentile_normalize(volume.image))
+    out = np.zeros(v.shape, np.int32)
+    got = stream_infer(model, cfg, {"params": {}}, v, out=out, chunk_z=16,
+                       halo=8, normalize=False)
+    assert got is out
+    assert out.max() >= 6

@@ -21,6 +21,9 @@ def main(argv=None):
                    help="instance-label volume out (npy/npz/h5/tiff, int32)")
     p.add_argument("--no-normalize", action="store_true",
                    help="skip percentile normalization (input already in [0,1])")
+    p.add_argument("--stream", type=int, default=0, metavar="CHUNK_Z",
+                   help="stream the volume through the device in z-chunks of "
+                        "this depth (for volumes larger than HBM)")
     args = p.parse_args(argv)
     cfg = load_config(args)
 
@@ -40,11 +43,17 @@ def main(argv=None):
     variables = jax.tree.map(jnp.asarray, load_variables(args.checkpoint, model, cfg))
     volume = load_volume(args.input).astype(np.float32)
 
-    infer = make_infer_fn(model, cfg, normalize=not args.no_normalize)
     t0 = time.perf_counter()
-    labels = jax.block_until_ready(infer(variables, jnp.asarray(volume)))
+    if args.stream:
+        from tpuseg.infer import stream_infer
+
+        labels = stream_infer(model, cfg, variables, volume,
+                              chunk_z=args.stream,
+                              normalize=not args.no_normalize)
+    else:
+        infer = make_infer_fn(model, cfg, normalize=not args.no_normalize)
+        labels = np.asarray(infer(variables, jnp.asarray(volume)))
     dt = time.perf_counter() - t0
-    labels = np.asarray(labels)
 
     save_volume(args.output, labels)
     n = int(labels.max())

@@ -50,27 +50,32 @@ def synthesize_volume(
     centers = np.array(centers, np.float32).reshape(-1, 3)
     radii = np.array(radii, np.float32).reshape(-1, 3)
 
-    zz, yy, xx = np.meshgrid(
-        np.arange(D, dtype=np.float32),
-        np.arange(H, dtype=np.float32),
-        np.arange(W, dtype=np.float32),
-        indexing="ij",
-    )
     image = np.zeros(shape, np.float32)
     labels = np.zeros(shape, np.int32)
     best = np.zeros(shape, np.float32)
+    # render each blob only inside its 3-sigma-ish bounding box: O(sum of
+    # blob volumes), not O(K * volume) — matters for GVoxel-scale fixtures
     for k, (c, r) in enumerate(zip(centers, radii)):
+        lo = np.maximum(np.floor(c - 2.5 * r).astype(int), 0)
+        hi = np.minimum(np.ceil(c + 2.5 * r).astype(int) + 1, [D, H, W])
+        sl = tuple(slice(a, b) for a, b in zip(lo, hi))
+        zz, yy, xx = np.meshgrid(
+            np.arange(lo[0], hi[0], dtype=np.float32),
+            np.arange(lo[1], hi[1], dtype=np.float32),
+            np.arange(lo[2], hi[2], dtype=np.float32),
+            indexing="ij",
+        )
         d2 = (
             ((zz - c[0]) / r[0]) ** 2
             + ((yy - c[1]) / r[1]) ** 2
             + ((xx - c[2]) / r[2]) ** 2
         )
         blob = np.exp(-0.5 * d2 * 4.0).astype(np.float32)  # ~hard edge at the nominal radius
-        image = np.maximum(image, blob)
+        image[sl] = np.maximum(image[sl], blob)
         inside = d2 <= 1.0
-        take = inside & (blob > best)
-        labels[take] = k + 1
-        best = np.maximum(best, np.where(inside, blob, 0.0))
+        take = inside & (blob > best[sl])
+        labels[sl][take] = k + 1  # basic slice -> view, assignment sticks
+        best[sl] = np.maximum(best[sl], np.where(inside, blob, 0.0))
 
     image = image + rng.normal(0.0, noise, shape).astype(np.float32)
     image = np.clip(image, 0.0, 1.0)

@@ -1,6 +1,7 @@
 from tpuseg.infer.tiles import tiled_forward
 from tpuseg.infer.pipeline import infer_volume, make_infer_fn
 from tpuseg.infer.sharded import make_sharded_infer_fn, make_z_mesh, shard_volume
+from tpuseg.infer.streaming import stream_infer
 
 __all__ = [
     "tiled_forward",
@@ -9,4 +10,5 @@ __all__ = [
     "make_sharded_infer_fn",
     "make_z_mesh",
     "shard_volume",
+    "stream_infer",
 ]

@@ -26,6 +26,51 @@ from jax import lax
 Dtype = Any
 
 
+def conv3d_zpack(
+    x: jnp.ndarray,        # (N, D, H, W, Ci)
+    kernel: jnp.ndarray,   # (kd, kh, kw, Ci, Co)
+    strides: Tuple[int, int, int] = (1, 1, 1),
+    padding: str = "SAME",
+) -> jnp.ndarray:
+    """z-taps folded into channels: ONE 2D conv with Ci*kd input channels.
+
+    vs. zdecomp's kd separate convs, this triples the contraction depth
+    (K = kh*kw*kd*Ci), which matters on the MXU when Ci is small (the
+    full-res U-Net levels have Ci=32 => K jumps 288 -> 864). Costs one extra
+    materialized concat of the shifted planes; identical math.
+    """
+    n, d, h, w, ci = x.shape
+    kd, kh, kw, _, co = kernel.shape
+    sz, sy, sx = strides
+
+    if padding == "SAME":
+        lo = (kd - 1) // 2
+        hi = kd - 1 - lo
+        if lo or hi:
+            x = jnp.pad(x, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
+    elif padding != "VALID":
+        raise ValueError(f"unsupported padding {padding!r}")
+
+    dp = x.shape[1]
+    do = (dp - kd) // sz + 1
+
+    taps = []
+    for dz in range(kd):
+        limit = dz + sz * (do - 1) + 1
+        taps.append(lax.slice_in_dim(x, dz, limit, stride=sz, axis=1))
+    xcat = jnp.concatenate(taps, axis=-1)               # (N, do, H, W, kd*Ci)
+    # channel blocks are ordered by dz, so fold kd into the I axis first:
+    k2d = jnp.transpose(kernel, (1, 2, 0, 3, 4)).reshape(kh, kw, kd * ci, co)
+    y = lax.conv_general_dilated(
+        xcat.reshape(n * do, h, w, kd * ci),
+        k2d,
+        window_strides=(sy, sx),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(n, do, y.shape[1], y.shape[2], co)
+
+
 def conv3d_zdecomp(
     x: jnp.ndarray,        # (N, D, H, W, Ci)
     kernel: jnp.ndarray,   # (kd, kh, kw, Ci, Co)
@@ -92,6 +137,8 @@ class Conv3D(nn.Module):
         kernel = kernel.astype(self.dtype)
         if self.impl == "zdecomp":
             y = conv3d_zdecomp(x, kernel, tuple(self.strides), self.padding)
+        elif self.impl == "zpack":
+            y = conv3d_zpack(x, kernel, tuple(self.strides), self.padding)
         elif self.impl == "native":
             y = lax.conv_general_dilated(
                 x, kernel,

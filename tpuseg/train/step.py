@@ -24,7 +24,7 @@ from flax import struct
 
 from tpuseg.core import Config
 from tpuseg.data.augment import augment_patch
-from tpuseg.data.normalize import percentile_normalize
+from tpuseg.data.normalize import histogram_percentile_normalize
 from tpuseg.data.weak_targets import make_weak_targets
 from tpuseg.losses import total_loss
 
@@ -81,7 +81,9 @@ def prepare_batch(batch: Dict[str, jnp.ndarray], cfg: Config, rng: jax.Array):
     patch = cfg.data.patch_size
 
     def one(img, centers, halfs, valid, key):
-        img = percentile_normalize(img, cfg.data.normalize_pcts)
+        # histogram percentile: O(N) vs the O(N log N) sort, error < 1/4096
+        # of the intensity range — noise next to the augmentation jitter
+        img = histogram_percentile_normalize(img, cfg.data.normalize_pcts)
         tgt = make_weak_targets(
             centers, halfs, valid, patch,
             peak_sigma=cfg.data.peak_sigma,
