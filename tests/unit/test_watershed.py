@@ -95,3 +95,23 @@ def test_size_filter_and_compact_matches_sequential():
     fused = np.asarray(size_filter_and_compact(jnp.asarray(lab), 8))
     assert np.array_equal(seq, fused)
     assert set(np.unique(fused)) == {0, 1, 2}
+
+
+def test_threshold_for_fraction_matches_quantile():
+    from tpuseg.ops.calibrate import threshold_for_fraction
+
+    rng = np.random.default_rng(0)
+    prob = jnp.asarray(rng.random((32, 32, 32)).astype(np.float32))
+    for frac in (0.03, 0.1, 0.5):
+        t = float(threshold_for_fraction(prob, frac))
+        got = float((np.asarray(prob) >= t).mean())
+        assert abs(got - frac) < 0.01, (frac, got, t)
+
+
+def test_expected_fg_fraction():
+    from tpuseg.ops.calibrate import expected_fg_fraction
+
+    # one sphere radius 4 in a 32^3 volume
+    f = expected_fg_fraction(np.array([[4.0, 4.0, 4.0]]), 32**3)
+    want = (4.0 / 3.0) * np.pi * 64 / 32**3
+    assert abs(f - want) < 1e-9

@@ -24,10 +24,11 @@ class ModelConfig:
     num_groups: int = 8
     activation: str = "relu"
     head_features: int = 32       # width of the shared head trunk
-    # conv schedule: "zdecomp" = sum of per-z-tap 2D convs over the merged
-    # (N*D) batch — ~identical math, vastly better MXU utilization than XLA's
-    # native 3D lowering (models/conv3d.py); "native" = lax 3D conv
-    conv_impl: str = "zdecomp"
+    # conv schedule (models/conv3d.py): "native" = lax 3D conv — measured
+    # FASTEST on v5e (head-to-head sweep: native 1.77s, zdecomp 1.94s,
+    # zpack 1.96s on the 25MVox stack); "zdecomp"/"zpack" kept as tested
+    # alternatives for other hardware generations
+    conv_impl: str = "native"
     # dtype policy: fp32 params, bf16 compute (flipped off for parity tests)
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -47,6 +48,12 @@ class PostprocConfig:
                                   # 2^rounds voxels long (paths are bounded by the
                                   # basin's geodesic size, NOT the volume size —
                                   # 8 covers instances far larger than any nucleus)
+    fg_target_fraction: float = 0.0  # >0: auto-calibrate fg_threshold so the
+                                     # predicted fg volume fraction matches this
+                                     # target (ops/calibrate.py) — corrects the
+                                     # ~2x mask inflation of box supervision;
+                                     # derive from annotations via
+                                     # calibrate.expected_fg_fraction
 
 
 @dataclass(frozen=True)

@@ -28,11 +28,19 @@ from tpuseg.ops import size_filter_and_compact, watershed
 
 
 def _postprocess(fg_prob, peak_prob, cfg: Config):
+    if cfg.postproc.fg_target_fraction > 0:
+        from tpuseg.ops.calibrate import threshold_for_fraction
+
+        fg_threshold = threshold_for_fraction(
+            fg_prob, cfg.postproc.fg_target_fraction
+        )
+    else:
+        fg_threshold = cfg.postproc.fg_threshold
     labels = watershed(
         fg_prob,
         peak_prob,
         peak_threshold=cfg.postproc.peak_threshold,
-        fg_threshold=cfg.postproc.fg_threshold,
+        fg_threshold=fg_threshold,
         peak_radius=cfg.postproc.nms_radius,
         flood_iters=cfg.postproc.flood_iters,
         method=cfg.postproc.method,
