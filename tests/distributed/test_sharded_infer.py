@@ -140,3 +140,23 @@ def test_sharded_normalization_close_to_exact(cfg, volume):
     # histogram percentile is approximate: demand near-identical labelings
     agree = (got == want).mean()
     assert agree > 0.999, agree
+
+
+def test_sharded_calibrated_threshold_equals_single(cfg, volume):
+    """fg_target_fraction calibration: psum'd core histograms must reproduce
+    the single-device threshold exactly."""
+    import dataclasses
+
+    ccfg = dataclasses.replace(
+        cfg, postproc=dataclasses.replace(cfg.postproc, fg_target_fraction=0.03)
+    )
+    model = AnalyticNet()
+    variables = {"params": {}}
+    mesh = make_z_mesh()
+    v = np.asarray(percentile_normalize(volume.image))
+
+    want = np.asarray(make_infer_fn(model, ccfg, normalize=False)(
+        variables, jnp.asarray(v)))
+    got = np.asarray(make_sharded_infer_fn(model, ccfg, mesh, normalize=False)(
+        variables, shard_volume(jnp.asarray(v), mesh)))
+    np.testing.assert_array_equal(got, want)

@@ -41,6 +41,8 @@ class PostprocConfig:
     peak_threshold: float = 0.5   # min peak-map prob for a seed
     fg_threshold: float = 0.5     # min fg-map prob for a voxel to join an instance
     nms_radius: int = 2           # half-window of the 3D max-pool NMS
+    nms_impl: str = "xla"         # "xla" (reduce_window) | "pallas" (fused
+                                  # single-pass VMEM kernel, ops/pallas_nms.py)
     min_size: int = 27            # drop instances smaller than this many voxels
     flood_iters: int = 96         # cap for the flood-fill fixed point (~max object diameter)
     method: str = "ascent"        # "ascent" (pointer-jumping) | "flood" (iterative)

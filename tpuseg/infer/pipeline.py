@@ -45,6 +45,7 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         flood_iters=cfg.postproc.flood_iters,
         method=cfg.postproc.method,
         ascent_rounds=cfg.postproc.ascent_rounds,
+        nms_impl=cfg.postproc.nms_impl,
     )
     # fused histogram pass == size_filter + compact_relabel (same numbering)
     return size_filter_and_compact(labels, cfg.postproc.min_size)

@@ -112,15 +112,33 @@ def make_sharded_infer_fn(
         fg = jnp.where(fake, 0.0, fg)
         pk = jnp.where(fake, 0.0, pk)
 
-        # 4: per-shard watershed with global ids
+        # 4: per-shard watershed with global ids. Optional volume-matched
+        # fg-threshold calibration (ops/calibrate.py) over the GLOBAL volume:
+        # per-shard histogram of fg probs, psum over the mesh axis.
+        if cfg.postproc.fg_target_fraction > 0:
+            bins = 4096
+            # histogram over CORE voxels only: cores partition the volume, so
+            # the psum'd histogram is EXACTLY the single-device one
+            fg_core = fg[halo_z : halo_z + dl]
+            hidx = jnp.clip((fg_core * bins).astype(jnp.int32), 0, bins - 1)
+            hist = jnp.zeros((bins,), jnp.int32).at[hidx.ravel()].add(1)
+            hist = lax.psum(hist, axis)
+            tail = jnp.cumsum(hist[::-1])[::-1].astype(jnp.float32)
+            total = lax.psum(jnp.float32(fg_core.size), axis)
+            ok = tail >= cfg.postproc.fg_target_fraction * total
+            b = jnp.sum(ok.astype(jnp.int32))
+            fg_threshold = jnp.clip((b.astype(jnp.float32) - 0.5) / bins, 0.0, 1.0)
+        else:
+            fg_threshold = cfg.postproc.fg_threshold
         labels_ext = watershed(
             fg, pk,
             peak_threshold=cfg.postproc.peak_threshold,
-            fg_threshold=cfg.postproc.fg_threshold,
+            fg_threshold=fg_threshold,
             peak_radius=cfg.postproc.nms_radius,
             flood_iters=cfg.postproc.flood_iters,
             method=cfg.postproc.method,
             ascent_rounds=cfg.postproc.ascent_rounds,
+            nms_impl=cfg.postproc.nms_impl,
         )
         labels_ext = size_filter(labels_ext, cfg.postproc.min_size)
         # local ext index -> global voxel index (constant shift keeps order)

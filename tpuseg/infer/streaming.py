@@ -89,6 +89,7 @@ def _make_chunk_fn(model, cfg: Config, ext_shape):
             flood_iters=cfg.postproc.flood_iters,
             method=cfg.postproc.method,
             ascent_rounds=cfg.postproc.ascent_rounds,
+            nms_impl=cfg.postproc.nms_impl,
         )
         return labels  # int32 local ext-chunk indices (+1), unfiltered
 

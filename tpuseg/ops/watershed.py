@@ -151,6 +151,7 @@ def flood_labels(
     jax.jit,
     static_argnames=(
         "peak_radius", "flood_iters", "method", "static_shapes", "ascent_rounds",
+        "nms_impl",
     ),
 )
 def watershed(
@@ -163,6 +164,7 @@ def watershed(
     method: str = "ascent",
     static_shapes: bool = False,
     ascent_rounds: int | None = None,
+    nms_impl: str = "xla",
 ) -> jnp.ndarray:
     """Full instance extraction: peak NMS seeds -> seeded watershed over the
     foreground mask. Returns int32 labels (root-index labels; call
@@ -174,7 +176,12 @@ def watershed(
     from tpuseg.ops.peaks import peak_nms  # local import to avoid cycle
 
     fg_mask = fg_prob >= fg_threshold
-    seeds = peak_nms(peak_prob, peak_threshold, peak_radius)
+    if nms_impl == "pallas":
+        from tpuseg.ops.pallas_nms import pallas_peak_nms
+
+        seeds = pallas_peak_nms(peak_prob, peak_threshold, peak_radius)
+    else:
+        seeds = peak_nms(peak_prob, peak_threshold, peak_radius)
     seeds = seeds & fg_mask
     idx = linear_index(fg_prob.shape)
 
