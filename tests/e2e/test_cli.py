@@ -1,0 +1,92 @@
+"""CLI script API smoke (tpuseg/cli/*): the reference's train.py / test.py /
+eval script surface, driven end-to-end through main() on the CPU platform."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpuseg.data import synthesize_volume
+from tpuseg.data.volume_io import save_annotations, save_volume
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    vol = synthesize_volume(shape=(32, 48, 48), num_instances=6,
+                            radius_range=(3.0, 5.0), seed=7)
+    save_volume(str(d / "stack.tiff"), (vol.image * 65535).astype(np.uint16))
+    save_volume(str(d / "gt.tiff"), vol.labels)
+    save_annotations(str(d / "ann.npz"), vol.centers, vol.half_sizes)
+    return d
+
+
+def _common_overrides(d):
+    return [
+        "--set", "model.features=[4,8]",
+        "--set", "model.num_groups=2",
+        "--set", "model.head_features=4",
+        "--set", 'model.compute_dtype="float32"',
+        "--set", 'infer.compute_dtype="float32"',
+        "--set", "data.patch_size=[16,16,16]",
+        "--set", "data.batch_size=2",
+        "--set", "data.max_instances=8",
+        "--set", "infer.tile=[16,16,16]",
+        "--set", "infer.halo=8",
+        "--set", "postproc.min_size=5",
+        "--set", "postproc.flood_iters=8",
+        "--set", f'train.ckpt_dir="{d / "ckpt"}"',
+    ]
+
+
+@pytest.mark.slow
+def test_cli_train_infer_evaluate_roundtrip(fixture_dir, capsys):
+    from tpuseg.cli import evaluate, infer, train
+
+    d = fixture_dir
+    train.main([
+        "--image", str(d / "stack.tiff"), "--annotations", str(d / "ann.npz"),
+        "--set", "train.total_steps=4", "--set", "train.warmup_steps=1",
+        "--set", "train.ckpt_every=4", "--log", str(d / "m.jsonl"),
+        *_common_overrides(d),
+    ])
+    out = capsys.readouterr().out
+    assert "done: step 4" in out
+    assert (d / "ckpt" / "config.json").exists()
+    assert len(open(d / "m.jsonl").readlines()) >= 1
+
+    infer.main([
+        "--checkpoint", str(d / "ckpt"),
+        "--input", str(d / "stack.tiff"), "--output", str(d / "pred.tiff"),
+        *_common_overrides(d),
+    ])
+    out = capsys.readouterr().out
+    assert "instances" in out and (d / "pred.tiff").exists()
+
+    evaluate.main([
+        "--pred", str(d / "pred.tiff"), "--gt", str(d / "gt.tiff"),
+        "--iou-threshold", "0.3",
+    ])
+    metrics = json.loads(capsys.readouterr().out)
+    assert {"precision", "recall", "f1", "tp", "fp", "fn"} <= set(metrics)
+
+
+@pytest.mark.slow
+def test_cli_infer_stream_mode(fixture_dir, capsys):
+    from tpuseg.cli import infer
+
+    d = fixture_dir
+    infer.main([
+        "--checkpoint", str(d / "ckpt"),
+        "--input", str(d / "stack.tiff"), "--output", str(d / "pred_stream.tiff"),
+        "--stream", "16", "--set", "infer.shard_halo=8",
+        *_common_overrides(d),
+    ])
+    assert (d / "pred_stream.tiff").exists()
+
+
+def test_cli_bad_override_errors(fixture_dir):
+    from tpuseg.cli import train
+
+    with pytest.raises((SystemExit, KeyError)):
+        train.main(["--synthetic", "1", "--set", "train.nope=1"])
