@@ -115,3 +115,25 @@ def test_expected_fg_fraction():
     f = expected_fg_fraction(np.array([[4.0, 4.0, 4.0]]), 32**3)
     want = (4.0 / 3.0) * np.pi * 64 / 32**3
     assert abs(f - want) < 1e-9
+
+
+def test_saturated_plateau_instance_resolves_with_default_rounds():
+    """Confident nets emit exactly-1.0 plateaus over whole instances (bf16
+    sigmoid saturation); the ascent tie-break then walks index order, making
+    chains ~ the plateau's Manhattan diameter. Default ascent_rounds (2^8
+    path budget) must resolve a large plateau to ONE fully-labeled basin."""
+    from tpuseg.core import PostprocConfig
+
+    shape = (32, 32, 32)
+    fg = np.zeros(shape, np.float32)
+    pk = np.zeros(shape, np.float32)
+    fg[4:28, 4:28, 4:28] = 1.0   # 24^3 saturated box
+    pk[4:28, 4:28, 4:28] = 1.0
+    rounds = PostprocConfig().ascent_rounds
+    lab = np.asarray(
+        watershed(jnp.asarray(fg), jnp.asarray(pk), 0.5, 0.5,
+                  peak_radius=2, flood_iters=8, ascent_rounds=rounds)
+    )
+    inside = lab[4:28, 4:28, 4:28]
+    assert (inside > 0).all(), "plateau voxels left unlabeled (rounds too low)"
+    assert len(np.unique(inside)) == 1, "plateau split into multiple basins"
