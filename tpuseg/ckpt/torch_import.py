@@ -69,6 +69,48 @@ def flax_params_from_torch(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return flax_variables_from_torch(state_dict)["params"]
 
 
+def _flatten(tree: Mapping[str, Any], prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def torch_state_dict_from_flax(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`flax_variables_from_torch`: flax variable collections
+    ``{"params": ..., "batch_stats": ...}`` -> a torch-mirror ``state_dict``.
+
+    Used to run the CPU-reference benchmark with the SAME trained weights as
+    the TPU pipeline (benchmarks/cpu_reference.py), keeping the north-star
+    denominator apples-to-apples, and to round-trip ``.pth`` export.
+    """
+    import torch
+
+    sd: Dict[str, Any] = {}
+    for path, v in _flatten(variables.get("params", {})).items():
+        *mods, leaf = path
+        key = ".".join(mods)
+        v = np.asarray(v, np.float32)
+        if leaf == "kernel":  # (kd, kh, kw, I, O) -> (O, I, kd, kh, kw)
+            sd[f"{key}.weight"] = torch.from_numpy(
+                np.ascontiguousarray(np.transpose(v, (4, 3, 0, 1, 2))))
+        elif leaf == "scale":
+            sd[f"{key}.weight"] = torch.from_numpy(v)
+        elif leaf == "bias":
+            sd[f"{key}.bias"] = torch.from_numpy(v)
+        else:
+            raise ValueError(f"unexpected flax leaf {path}")
+    for path, v in _flatten(variables.get("batch_stats", {})).items():
+        *mods, leaf = path
+        key = ".".join(mods)
+        name = {"mean": "running_mean", "var": "running_var"}[leaf]
+        sd[f"{key}.{name}"] = torch.from_numpy(np.asarray(v, np.float32))
+    return sd
+
+
 def load_pth_checkpoint(path: str) -> Dict[str, Any]:
     """Load a ``.pth`` file (state_dict or {'state_dict': ...}) -> flax
     variables ``{"params": ..., "batch_stats": ...}``."""

@@ -61,13 +61,25 @@ def instance_metrics(
         tp = int(matched.sum())
         mean_iou = float(iou[rows, cols][matched].mean()) if tp else 0.0
     elif criterion == "center":
-        fg_gt_ids = gt_ids[g_mask]
-        fg_pred_ids = pred_ids[p_mask]
+        # one-pass centroids: accumulate per-instance coordinate sums with
+        # np.add.at instead of a full-volume argwhere per GT instance
+        flat = gt.ravel()
+        _, inv = np.unique(flat, return_inverse=True)  # inv indexes gt_ids
+        lin = np.arange(flat.size, dtype=np.int64)
+        hw = gt.shape[1] * gt.shape[2]
+        k = len(gt_ids)
+        counts = np.bincount(inv, minlength=k).astype(np.int64)
+        sums = np.stack([
+            np.bincount(inv, weights=lin // hw, minlength=k),
+            np.bincount(inv, weights=(lin % hw) // gt.shape[2], minlength=k),
+            np.bincount(inv, weights=lin % gt.shape[2], minlength=k),
+        ], axis=-1)
         hits = set()
         used_pred = set()
-        for j, gid in enumerate(fg_gt_ids):
-            coords = np.argwhere(gt == gid)
-            cz, cy, cx = np.round(coords.mean(axis=0)).astype(int)
+        for j, gid in enumerate(gt_ids):
+            if gid <= 0:
+                continue
+            cz, cy, cx = np.round(sums[j] / counts[j]).astype(int)
             pid = pred[cz, cy, cx]
             if pid > 0 and pid not in used_pred:
                 hits.add(gid)

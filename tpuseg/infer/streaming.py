@@ -3,18 +3,31 @@
 stream from host to device").
 
 The volume streams through the device in z-chunks with ``halo`` planes of
-context (two passes):
+context:
 
 pass 1: a psum-free histogram over all chunks fixes the GLOBAL percentile
         normalization (identical scaling for every chunk);
+pass 1b (only when ``cfg.postproc.fg_target_fraction > 0``): a net-only sweep
+        accumulates the global foreground-probability histogram so the
+        volume-matched fg-threshold calibration (ops/calibrate.py) sees the
+        SAME distribution as the fused/sharded paths — streamed results match
+        the other inference paths when calibration is configured (ADVICE r1).
+        Costs one extra net pass over the volume.
 pass 2: each extended chunk runs the jitted net-sweep + watershed; labels
-        come back as LOCAL extended-chunk indices (int32, always < 2^31) and
-        the host lifts them to GLOBAL int64 ids (offset add — order
-        preserving, so chunk results agree on shared basins exactly like the
-        sharded path). Chunk-boundary instances are reconciled by a host
-        union-find over the redundantly-computed overlap plane; instance
-        sizes accumulate globally; a final pass applies union + size filter +
-        dense 1..K compaction.
+        come back as LOCAL extended-chunk indices (int32 — exact for chunks
+        up to 2^31 voxels, i.e. any chunk that fits HBM) and are stored
+        as-is in the int32 result buffer. Only the small per-chunk artifacts
+        (boundary-overlap planes, unique-id tables) are lifted to GLOBAL
+        int64 ids (offset add — order preserving, so chunk results agree on
+        shared basins exactly like the sharded path). Chunk-boundary
+        instances are reconciled by a host union-find over the redundantly-
+        computed overlap plane; instance sizes accumulate globally; a final
+        in-place pass lifts each chunk, applies union + size filter + dense
+        1..K compaction.
+
+Host memory: ONE int32 (D,H,W) result buffer (4 bytes/voxel) plus chunk-sized
+transients — a 10-GVoxel volume needs 40 GB for the labels themselves and no
+more (the int64 full-volume intermediate of the round-1 design is gone).
 
 The chunk pipeline is ONE compiled XLA program reused for every chunk (static
 chunk shape); the host does only I/O, the tiny union-find, and the relabel
@@ -59,16 +72,27 @@ def _closure_numpy(edges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return keys, keys[parent]
 
 
-def _make_chunk_fn(model, cfg: Config, ext_shape):
+def _normalize_ext(ext, lo, hi):
+    return jnp.clip((ext.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-6),
+                    0.0, 1.0)
+
+
+def _mask_fake(prob, mask_top, mask_bot):
+    """Zero out fake (edge-replicated) halo planes at the global volume ends."""
+    z = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
+    fake = (z < mask_top) | (z >= prob.shape[0] - mask_bot)
+    return jnp.where(fake, 0.0, prob)
+
+
+def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
+                    calib_bins: int = 4096):
     compute_dtype = resolve(cfg.infer.compute_dtype)
 
     def apply_fn(variables, x):
         return model.apply(variables, x)
 
-    @jax.jit
-    def chunk_fn(variables, ext, lo, hi, mask_top, mask_bot):
-        ext = jnp.clip((ext.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-6),
-                       0.0, 1.0)
+    def forward(variables, ext, lo, hi, mask_top, mask_bot):
+        ext = _normalize_ext(ext, lo, hi)
         out = tiled_forward(
             apply_fn, variables, ext,
             tile=cfg.infer.tile, halo=cfg.infer.halo,
@@ -76,15 +100,27 @@ def _make_chunk_fn(model, cfg: Config, ext_shape):
         )
         fg = jax.nn.sigmoid(out["fg_logits"].astype(jnp.float32))
         pk = jax.nn.sigmoid(out["peak_logits"].astype(jnp.float32))
-        # mask fake (edge-replicated) halo regions at the global volume ends
-        z = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
-        fake = (z < mask_top) | (z >= ext.shape[0] - mask_bot)
-        fg = jnp.where(fake, 0.0, fg)
-        pk = jnp.where(fake, 0.0, pk)
+        return _mask_fake(fg, mask_top, mask_bot), _mask_fake(pk, mask_top, mask_bot)
+
+    @jax.jit
+    def fg_hist_fn(variables, ext, lo, hi, mask_top, mask_bot):
+        """Net-only pass: int32 histogram of CORE fg probabilities (the same
+        voxels the fused path's calibration sees; cores partition the volume)."""
+        fg, _ = forward(variables, ext, lo, hi, mask_top, mask_bot)
+        core = fg[halo : halo + chunk_z]
+        idx = jnp.clip((core * calib_bins).astype(jnp.int32), 0, calib_bins - 1)
+        hist = jnp.zeros((calib_bins,), jnp.int32).at[idx.ravel()].add(1)
+        # fake planes inside the core window (short last chunk) land in bin 0
+        # as prob 0.0 — the caller subtracts them from bin 0
+        return hist
+
+    @jax.jit
+    def chunk_fn(variables, ext, lo, hi, mask_top, mask_bot, fg_thr):
+        fg, pk = forward(variables, ext, lo, hi, mask_top, mask_bot)
         labels = watershed(
             fg, pk,
             peak_threshold=cfg.postproc.peak_threshold,
-            fg_threshold=cfg.postproc.fg_threshold,
+            fg_threshold=fg_thr,
             peak_radius=cfg.postproc.nms_radius,
             flood_iters=cfg.postproc.flood_iters,
             method=cfg.postproc.method,
@@ -93,13 +129,28 @@ def _make_chunk_fn(model, cfg: Config, ext_shape):
         )
         return labels  # int32 local ext-chunk indices (+1), unfiltered
 
-    return chunk_fn
+    return fg_hist_fn, chunk_fn
 
 
 def _chunk_histogram(vol_chunk: np.ndarray, lo: float, span: float, bins: int):
     idx = np.clip(((vol_chunk.astype(np.float32) - lo) / span * bins), 0,
                   bins - 1).astype(np.int64)
     return np.bincount(idx.ravel(), minlength=bins)
+
+
+def _read_ext(volume, z0, z1, halo, ext_z, D):
+    """Extended chunk [z0-halo, z1+halo), clipped + edge-replicated at volume
+    ends and padded up to the static ext shape. Returns (ext, mask_top,
+    mask_bot) where the masks count fake planes at each end."""
+    lo_z, hi_z = z0 - halo, z1 + halo
+    r0, r1 = max(lo_z, 0), min(hi_z, D)
+    ext = np.asarray(volume[r0:r1], np.float32)
+    pad_top, pad_bot = r0 - lo_z, hi_z - r1
+    pad_static = ext_z - (pad_top + ext.shape[0] + pad_bot)
+    if pad_top or pad_bot or pad_static:
+        ext = np.pad(ext, ((pad_top, pad_bot + pad_static), (0, 0), (0, 0)),
+                     mode="edge")
+    return ext, pad_top, pad_bot + pad_static
 
 
 def stream_infer(
@@ -117,12 +168,12 @@ def stream_infer(
     ``out`` with) the dense int32 instance labeling."""
     D, H, W = volume.shape
     halo = cfg.infer.shard_halo if halo is None else halo
-    # intermediate global ids need int64 (10+ GVoxel volumes overflow int32
-    # linear indices); the final dense labeling fits int32
-    tmp = np.zeros((D, H, W), np.int64)
-
     chunks = [(z, min(z + chunk_z, D)) for z in range(0, D, chunk_z)]
     plane = H * W
+    ext_z = chunk_z + 2 * halo
+    assert ext_z * plane < 2**31, (
+        "extended chunk exceeds int32 linear-index range; lower chunk_z/halo"
+    )
 
     # ---- pass 1: global percentile from a streamed histogram ----
     if normalize:
@@ -143,53 +194,71 @@ def stream_infer(
         lo, hi = pct(cfg.data.normalize_pcts[0]), pct(cfg.data.normalize_pcts[1])
     else:
         lo, hi = 0.0, 1.0
+    lo_j, hi_j = jnp.float32(lo), jnp.float32(hi)
+
+    fg_hist_fn, chunk_fn = _make_chunk_fns(model, cfg, halo, chunk_z, bins)
+
+    # ---- pass 1b: volume-matched fg-threshold calibration (extra net pass) ----
+    if cfg.postproc.fg_target_fraction > 0:
+        fg_hist = np.zeros(bins, np.int64)
+        n_core = 0
+        for z0, z1 in chunks:
+            ext, mask_top, mask_bot = _read_ext(volume, z0, z1, halo, ext_z, D)
+            h = np.asarray(fg_hist_fn(
+                variables, jnp.asarray(ext), lo_j, hi_j,
+                jnp.int32(mask_top), jnp.int32(mask_bot))).astype(np.int64)
+            # short last chunk: fake planes inside the core window counted
+            # prob-0.0 into bin 0 — remove them so the histogram covers
+            # exactly the D*H*W real voxels
+            fake_core = max(0, (z0 + chunk_z) - D) * plane
+            h[0] -= fake_core
+            fg_hist += h
+            n_core += chunk_z * plane - fake_core
+        assert n_core == D * plane
+        # same fraction arithmetic as ops.calibrate.threshold_for_fraction
+        # (fp32, so the same bin is selected)
+        tail = (np.cumsum(fg_hist[::-1])[::-1].astype(np.float32)
+                / np.float32(n_core))
+        b = int(np.sum(tail >= np.float32(cfg.postproc.fg_target_fraction)))
+        fg_thr = float(np.clip((b - 0.5) / bins, 0.0, 1.0))
+    else:
+        fg_thr = cfg.postproc.fg_threshold
 
     # ---- pass 2: chunked net + watershed, host reconciliation ----
-    ext_z = chunk_z + 2 * halo
-    chunk_fn = None
-    edge_chunks = []                 # (E_i, 2) int64 rename edges
-    id_chunks, count_chunks = [], [] # per-chunk instance ids and voxel counts
-    prev_overlap = None  # previous chunk's labels for the next core plane
+    result = out if out is not None else np.zeros((D, H, W), np.int32)
+    edge_chunks = []                 # (E_i, 2) int64 rename edges (global ids)
+    id_chunks, count_chunks = [], [] # per-chunk GLOBAL instance ids and counts
+    prev_overlap = None  # previous chunk's (global-id) labels for my 1st plane
 
     for ci, (z0, z1) in enumerate(chunks):
         cz = z1 - z0
-        # read extended chunk, clipping + edge-replicating at volume ends
-        lo_z, hi_z = z0 - halo, z1 + halo
-        r0, r1 = max(lo_z, 0), min(hi_z, D)
-        ext = np.asarray(volume[r0:r1], np.float32)
-        pad_top, pad_bot = r0 - lo_z, hi_z - r1
-        # also pad short last chunks up to the static ext shape
-        pad_static = ext_z - (pad_top + ext.shape[0] + pad_bot)
-        if pad_top or pad_bot or pad_static:
-            ext = np.pad(ext, ((pad_top, pad_bot + pad_static), (0, 0), (0, 0)),
-                         mode="edge")
-        if chunk_fn is None:
-            chunk_fn = _make_chunk_fn(model, cfg, ext.shape)
-        mask_top = pad_top                      # fake planes at global start
-        mask_bot = pad_bot + pad_static         # fake planes at global end
-        labels_ext = np.asarray(
-            chunk_fn(variables, jnp.asarray(ext), jnp.float32(lo), jnp.float32(hi),
-                     jnp.int32(mask_top), jnp.int32(mask_bot))
-        ).astype(np.int64)
+        ext, mask_top, mask_bot = _read_ext(volume, z0, z1, halo, ext_z, D)
+        labels_ext = np.asarray(chunk_fn(
+            variables, jnp.asarray(ext), lo_j, hi_j,
+            jnp.int32(mask_top), jnp.int32(mask_bot), jnp.float32(fg_thr)))
+
         offset = np.int64(z0 - halo) * plane
-        labels_ext = np.where(labels_ext > 0, labels_ext + offset, 0)
+        core = labels_ext[halo : halo + cz]              # int32 LOCAL ids
+        result[z0:z1] = core                             # lifted at finalize
 
-        core = labels_ext[halo : halo + cz]
-        tmp[z0:z1] = core
-
+        core0_global = np.where(core[0] > 0, core[0].astype(np.int64) + offset, 0)
         # merge against previous chunk's redundant copy of our first plane
         if prev_overlap is not None:
-            mine = core[0]
-            both = (mine > 0) & (prev_overlap > 0) & (mine != prev_overlap)
+            both = (core0_global > 0) & (prev_overlap > 0) \
+                & (core0_global != prev_overlap)
             if both.any():
                 edge_chunks.append(
-                    np.stack([mine[both].ravel(), prev_overlap[both].ravel()],
-                             axis=-1)
+                    np.stack([core0_global[both].ravel(),
+                              prev_overlap[both].ravel()], axis=-1)
                 )
-        prev_overlap = labels_ext[halo + cz] if halo + cz < ext_z else None
+        if halo + cz < ext_z:
+            nxt = labels_ext[halo + cz]
+            prev_overlap = np.where(nxt > 0, nxt.astype(np.int64) + offset, 0)
+        else:
+            prev_overlap = None
 
         ids, counts = np.unique(core[core > 0], return_counts=True)
-        id_chunks.append(ids)
+        id_chunks.append(ids.astype(np.int64) + offset)
         count_chunks.append(counts)
 
     # ---- finalize: union roots, global size filter, dense compaction ----
@@ -212,21 +281,23 @@ def stream_infer(
     root_sizes = np.zeros(len(uniq_roots), np.int64)
     np.add.at(root_sizes, inv, all_counts)
     kept = root_sizes >= cfg.postproc.min_size
-    rank_of_root = np.where(kept, np.cumsum(kept), 0)  # dense 1..K over kept roots
+    rank_of_root = np.where(kept, np.cumsum(kept), 0)  # dense 1..K over kept
 
-    # per-original-id rename table: id -> dense rank of its (kept) root
+    # per-original-id rename table: global id -> dense rank of its (kept) root
     sort_ids = np.unique(all_ids)
     id_rank = rank_of_root[
         np.searchsorted(uniq_roots, rename(sort_ids))
-    ]
+    ].astype(np.int32)
 
-    result = out if out is not None else np.zeros((D, H, W), np.int32)
+    # in-place lift + rename, one chunk at a time (int64 only chunk-sized)
     for z0, z1 in chunks:
-        core = tmp[z0:z1]
+        core = result[z0:z1]
         if len(sort_ids):
-            pos = np.clip(np.searchsorted(sort_ids, core), 0, len(sort_ids) - 1)
-            hit = (core > 0) & (sort_ids[pos] == core)
-            result[z0:z1] = np.where(hit, id_rank[pos], 0).astype(result.dtype)
+            offset = np.int64(z0 - halo) * plane
+            glob = np.where(core > 0, core.astype(np.int64) + offset, 0)
+            pos = np.clip(np.searchsorted(sort_ids, glob), 0, len(sort_ids) - 1)
+            hit = (glob > 0) & (sort_ids[pos] == glob)
+            result[z0:z1] = np.where(hit, id_rank[pos], 0).astype(np.int32)
         else:
             result[z0:z1] = 0
     return result

@@ -42,6 +42,24 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def rf_radius_bound(levels: int) -> int:
+    """Analytic upper bound on the U-Net's receptive-field radius for a model
+    with ``levels = len(features)`` encoder widths.
+
+    Walking the deepest path: each ConvBlock is two 3^3 convs (+2 per side at
+    stride s), Down/Up k=2 convs add +1·s, so
+
+        radius <= 6*(2^(L-1) - 1) + 2*2^(L-1) + 2  =  8*2^(L-1) - 4
+
+    with L-1 downsampling stages. Measured radii (measure_rf_radius) are
+    slightly tighter because the k=2 convs are one-sided: 2 levels -> 11
+    (bound 12), 3 -> 27 (28), 4 -> 53 (60). Used to warn when
+    ``InferConfig.halo`` is below the exactness requirement (ADVICE r1).
+    """
+    measured = {1: 4, 2: 11, 3: 27, 4: 53}
+    return measured.get(levels, 8 * 2 ** (levels - 1) - 4)
+
+
 def measure_rf_radius(model, variables, probe_size: int = 96, tol: float = 1e-7) -> int:
     """Empirically measure the net's receptive-field radius (for halo sizing).
 

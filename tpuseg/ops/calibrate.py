@@ -25,12 +25,14 @@ def threshold_for_fraction(prob: jnp.ndarray, fraction, bins: int = 4096):
     quantile), from a histogram — O(N) scatter + O(bins) scan."""
     prob = prob.astype(jnp.float32)
     idx = jnp.clip((prob * bins).astype(jnp.int32), 0, bins - 1)
+    # int32 per-device histogram is exact for volumes < 2^31 voxels (any
+    # larger would not fit HBM); the comparison uses fp32 FRACTIONS, the same
+    # arithmetic as the sharded path's psum'd version (infer/sharded.py), so
+    # single-device and sharded calibration pick the same bin.
     hist = jnp.zeros((bins,), jnp.int32).at[idx.ravel()].add(1)
-    # survival counts: voxels with prob >= bin edge
-    tail = jnp.cumsum(hist[::-1])[::-1].astype(jnp.float32)
-    target = fraction * prob.size
-    # smallest bin whose tail count is still >= target
-    ok = tail >= target
+    # survival fraction: share of voxels with prob >= bin edge
+    tail = jnp.cumsum(hist[::-1])[::-1].astype(jnp.float32) / prob.size
+    ok = tail >= fraction
     b = jnp.sum(ok.astype(jnp.int32))  # bins 0..b-1 satisfy it
     return jnp.clip((b.astype(jnp.float32) - 0.5) / bins, 0.0, 1.0)
 

@@ -47,22 +47,30 @@ def _shift(x, axis, off, fill):
     return jnp.concatenate([pad, body], axis=axis)
 
 
-_PY = 8  # y halo staged per block: >= radius, multiple of the (8,128)
-         # memref tiling so DMA window offsets/sizes stay tile-aligned
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def _nms_kernel(radius, bz, by, h, w,
+def _nms_kernel(radius, hz, hy, bz, by, h, w,
                 thr_ref, hbm_ref, out_ref, scratch, sem):
-    # hbm_ref is the -inf-padded volume (D+2r, H+2*_PY, W); window offsets
+    # hbm_ref is the -inf-padded volume (D+2*hz, H+2*hy, W); window offsets
     # are always in-bounds, so the output crop below is a STATIC slice
     # (Mosaic has no dynamic_slice on values). y windows start at multiples
-    # of `by` with size by+2*_PY — both 8-aligned as Mosaic requires.
+    # of `by` with size by+2*hy — both 8-aligned as Mosaic requires.
+    #
+    # Halo sizing (hz = 2*radius, hy = 2*radius rounded up to 8): a core
+    # voxel's seed status depends on the CANDIDATE status of voxels up to
+    # `radius` away, and a halo voxel's candidate status needs ITS OWN
+    # (2r+1)^3 max-pool window — values up to 2*radius from the core. A
+    # single-radius halo would see -inf beyond the scratch and could let a
+    # falsely-candidate halo voxel suppress the true seed on exact-value
+    # plateaus crossing a block boundary (ADVICE r1).
     threshold = thr_ref[0, 0]
     z0 = pl.program_id(0) * bz
     y0 = pl.program_id(1) * by
 
     dma = pltpu.make_async_copy(
-        hbm_ref.at[pl.ds(z0, bz + 2 * radius), pl.ds(y0, by + 2 * _PY), :],
+        hbm_ref.at[pl.ds(z0, bz + 2 * hz), pl.ds(y0, by + 2 * hy), :],
         scratch,
         sem,
     )
@@ -73,8 +81,8 @@ def _nms_kernel(radius, bz, by, h, w,
     # absolute coordinates in the ORIGINAL (unpadded) volume; negative in the
     # pad halo, but pad values are -inf so they are never candidates and
     # their (masked, -1) indices never win the tie-break — matching XLA SAME.
-    az = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) + z0 - radius
-    ay = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) + y0 - _PY
+    az = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 0) + z0 - hz
+    ay = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1) + y0 - hy
     ax = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 2)
     lin = (az * h + ay) * w + ax
 
@@ -85,7 +93,7 @@ def _nms_kernel(radius, bz, by, h, w,
     seeds = cand & (cidx == midx)
 
     out_ref[:] = seeds.astype(jnp.int8)[
-        radius : radius + bz, _PY : _PY + by, :
+        hz : hz + bz, hy : hy + by, :
     ]
 
 
@@ -100,18 +108,21 @@ def pallas_peak_nms(
     ``threshold`` may be a traced scalar (rides in SMEM)."""
     d, h, w = peak_prob.shape
     bz, by = block
-    if d % bz or h % by or d < bz + 2 * radius or h < by + 2 * radius:
-        # fall back for awkward shapes rather than mask partial tiles
+    hz = 2 * radius                    # full tie-break-exact z halo
+    hy = _round_up(2 * radius, 8)      # y halo, 8-aligned for the memref tiling
+    if (d % bz or h % by or d < bz + 2 * radius or h < by + 2 * radius
+            or hy > by or radius > bz):
+        # fall back for awkward shapes / radii rather than mask partial tiles
         from tpuseg.ops.peaks import peak_nms
 
         return peak_nms(peak_prob, threshold, radius)
 
     grid = (d // bz, h // by)
-    kernel = partial(_nms_kernel, radius, bz, by, h, w)
+    kernel = partial(_nms_kernel, radius, hz, hy, bz, by, h, w)
     thr = jnp.asarray(threshold, jnp.float32).reshape(1, 1)
     padded = jnp.pad(
         peak_prob.astype(jnp.float32),
-        ((radius, radius), (_PY, _PY), (0, 0)),
+        ((hz, hz), (hy, hy), (0, 0)),
         constant_values=-jnp.inf,
     )
     out = pl.pallas_call(
@@ -129,7 +140,7 @@ def pallas_peak_nms(
         ),
         out_shape=jax.ShapeDtypeStruct((d, h, w), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((bz + 2 * radius, by + 2 * _PY, w), jnp.float32),
+            pltpu.VMEM((bz + 2 * hz, by + 2 * hy, w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(thr, padded)

@@ -103,31 +103,79 @@ def merge_boundary_labels(
 
 
 def global_compact_labels(
-    labels: jnp.ndarray, axis: str, max_labels_per_shard: int = 4096
+    labels: jnp.ndarray,
+    axis: str,
+    max_labels_per_shard: int = 4096,
+    min_size: int = 0,
 ) -> jnp.ndarray:
     """Rename shard-local label volumes to a globally dense 1..K numbering
-    (ascending in original id, matching ops.compact_relabel's order).
+    (ascending in original id, matching ops.compact_relabel's order), with an
+    optional GLOBAL size filter.
 
-    Each shard contributes its (bounded) unique-label table; overflow beyond
-    ``max_labels_per_shard`` distinct ids per shard is an explicit cap —
-    raise it in InferConfig for extremely instance-dense volumes.
+    ``min_size > 0`` drops instances whose total CORE voxel count across all
+    shards is below the threshold. Because cores partition the volume, the
+    summed per-shard counts are exactly the single-device instance sizes, so
+    filtering here (after reconciliation) matches single-device
+    ``size_filter_and_compact`` even for instances spanning farther than the
+    shard halo — per-shard pre-filtering could keep one side of such an
+    instance and drop the other (ADVICE r1).
+
+    Each shard contributes its (bounded) unique-label table; more than
+    ``max_labels_per_shard`` distinct ids in one shard overflows the cap and
+    silently drops the overflowed instances — so overflow is detected and
+    surfaced via ``jax.debug.print`` (raise ``InferConfig.shard_max_labels``
+    for extremely instance-dense volumes).
     """
     flat = labels.ravel()
+    n = flat.shape[0]
     s = jnp.sort(flat)
     prev = jnp.concatenate([jnp.full((1,), -1, s.dtype), s[:-1]])
     first = (s != prev) & (s > 0)
-    # positions of the first occurrences, compacted into a bounded table
-    posidx = jnp.where(first, jnp.arange(s.shape[0], dtype=jnp.int32), s.shape[0])
-    order = jnp.sort(posidx)[:max_labels_per_shard]
-    table = jnp.where(
-        order < s.shape[0], s[jnp.clip(order, 0, s.shape[0] - 1)], _SENTINEL
+
+    # surface cap overflow instead of silently truncating (ADVICE r1)
+    n_distinct = jnp.sum(first.astype(jnp.int32))
+    overflow = lax.pmax(n_distinct, axis) > max_labels_per_shard
+    lax.cond(
+        overflow,
+        lambda c: jax.debug.print(
+            "tpuseg: global_compact_labels OVERFLOW — a shard has {c} distinct "
+            "labels > cap {cap}; overflowed instances are dropped. Raise "
+            "InferConfig.shard_max_labels.", c=c, cap=max_labels_per_shard),
+        lambda c: None,
+        n_distinct,
     )
 
-    gtable = jnp.sort(lax.all_gather(table, axis).ravel())   # (n*cap,)
+    # positions of the first occurrences, compacted into a bounded table;
+    # per-entry count = next first position - my position (runs are
+    # contiguous in the sorted array; unused slots get N - N = 0)
+    posidx = jnp.where(first, jnp.arange(n, dtype=jnp.int32), n)
+    order = jnp.sort(posidx)[:max_labels_per_shard]
+    nexts = jnp.concatenate([order[1:], jnp.full((1,), n, order.dtype)])
+    counts = jnp.maximum(nexts - order, 0)
+    table = jnp.where(order < n, s[jnp.clip(order, 0, n - 1)], _SENTINEL)
+
+    gt_ = lax.all_gather(table, axis).ravel()                # (nshards*cap,)
+    gc_ = lax.all_gather(counts, axis).ravel()
+    gtable, gcounts = lax.sort((gt_, gc_), num_keys=1)       # co-sorted by id
     gprev = jnp.concatenate([jnp.full((1,), -1, gtable.dtype), gtable[:-1]])
-    gnew = (gtable != gprev) & (gtable > 0) & (gtable < _SENTINEL)
-    ranks = jnp.cumsum(gnew.astype(jnp.int32))
+    valid = (gtable > 0) & (gtable < _SENTINEL)
+    gnew = (gtable != gprev) & valid
+
+    if min_size > 0:
+        # total size per distinct id = segment-sum of per-shard counts
+        run_id = jnp.cumsum(gnew.astype(jnp.int32))          # 1..R on valid
+        totals = jnp.zeros(gtable.shape[0] + 1, jnp.int32).at[run_id].add(
+            jnp.where(valid, gcounts, 0))
+        kept_run = totals[run_id] >= min_size
+        gnew = gnew & kept_run
+        # ranks: cumsum over kept firsts; constant within a run, so any
+        # entry of a kept run maps to its run's dense rank
+        ranks = jnp.cumsum(gnew.astype(jnp.int32))
+        entry_rank = jnp.where(kept_run & valid, ranks, 0)
+    else:
+        ranks = jnp.cumsum(gnew.astype(jnp.int32))
+        entry_rank = jnp.where(valid, ranks, 0)
 
     pos = jnp.clip(jnp.searchsorted(gtable, flat), 0, gtable.shape[0] - 1)
     hit = (gtable[pos] == flat) & (flat > 0)
-    return jnp.where(hit, ranks[pos], 0).reshape(labels.shape).astype(jnp.int32)
+    return jnp.where(hit, entry_rank[pos], 0).reshape(labels.shape).astype(jnp.int32)
