@@ -43,6 +43,9 @@ class PostprocConfig:
     nms_radius: int = 2           # half-window of the 3D max-pool NMS
     nms_impl: str = "xla"         # "xla" (reduce_window) | "pallas" (fused
                                   # single-pass VMEM kernel, ops/pallas_nms.py)
+    resolve_impl: str = "auto"    # chain-resolution/flood backend: "auto"
+                                  # (pallas on TPU for supported shapes),
+                                  # "xla", "pallas" (ops/pallas_resolve.py)
     min_size: int = 27            # drop instances smaller than this many voxels
     flood_iters: int = 96         # cap for the flood-fill fixed point (~max object diameter)
     method: str = "ascent"        # "ascent" (pointer-jumping) | "flood" (iterative)

@@ -46,6 +46,7 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         method=cfg.postproc.method,
         ascent_rounds=cfg.postproc.ascent_rounds,
         nms_impl=cfg.postproc.nms_impl,
+        resolve_impl=cfg.postproc.resolve_impl,
     )
     # fused histogram pass == size_filter + compact_relabel (same numbering)
     return size_filter_and_compact(labels, cfg.postproc.min_size)

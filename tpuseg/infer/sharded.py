@@ -149,6 +149,7 @@ def make_sharded_infer_fn(
             method=cfg.postproc.method,
             ascent_rounds=cfg.postproc.ascent_rounds,
             nms_impl=cfg.postproc.nms_impl,
+            resolve_impl=cfg.postproc.resolve_impl,
         )
         # local ext index -> global voxel index (constant shift keeps order).
         # NOTE: no per-shard size filter here — an instance spanning farther

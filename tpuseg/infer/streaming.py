@@ -126,6 +126,7 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
             method=cfg.postproc.method,
             ascent_rounds=cfg.postproc.ascent_rounds,
             nms_impl=cfg.postproc.nms_impl,
+            resolve_impl=cfg.postproc.resolve_impl,
         )
         return labels  # int32 local ext-chunk indices (+1), unfiltered
 
