@@ -53,8 +53,13 @@ def cpu_postprocess(fg_prob, peak_prob, peak_threshold=0.5, fg_threshold=0.5,
 
 
 def run_cpu_reference(volume: np.ndarray, model_cfg=None, tile=(32, 128, 128),
-                      halo=16) -> dict:
-    """Sliding-window torch-CPU forward + scipy post-proc; returns timings."""
+                      halo=16, variables=None) -> dict:
+    """Sliding-window torch-CPU forward + scipy post-proc; returns timings.
+
+    ``variables``: optional flax variable collections — loaded into the torch
+    mirror so the CPU denominator runs the SAME trained weights as the TPU
+    pipeline (apples-to-apples; ckpt.torch_import.torch_state_dict_from_flax).
+    """
     import torch
 
     from tpuseg.ckpt.torch_mirror import build_torch_mirror
@@ -62,6 +67,10 @@ def run_cpu_reference(volume: np.ndarray, model_cfg=None, tile=(32, 128, 128),
 
     torch.set_num_threads(max(1, torch.get_num_threads()))
     model = build_torch_mirror(model_cfg or ModelConfig()).eval()
+    if variables is not None:
+        from tpuseg.ckpt.torch_import import torch_state_dict_from_flax
+
+        model.load_state_dict(torch_state_dict_from_flax(variables))
 
     D, H, W = volume.shape
     # percentile normalize (host numpy, like the reference)

@@ -25,6 +25,7 @@ from tpuseg.infer import (
     make_infer_fn,
     make_sharded_infer_fn,
     make_z_mesh,
+    make_zy_mesh,
     shard_volume,
 )
 from tpuseg.parallel.halo import exchange_z_halo
@@ -140,6 +141,109 @@ def test_sharded_normalization_close_to_exact(cfg, volume):
     # histogram percentile is approximate: demand near-identical labelings
     agree = (got == want).mean()
     assert agree > 0.999, agree
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sharded_2d_zy_equals_single_device(cfg, mesh_shape):
+    """SURVEY §7 phase 5: the 2-D (z, y) spatial mesh must reproduce the
+    single-device labeling elementwise — including instances crossing z
+    boundaries, y boundaries, and corners (merged transitively through one
+    gathered closure)."""
+    vol = synthesize_volume(shape=(32, 32, 32), num_instances=10,
+                            radius_range=(3.0, 5.0), noise=0.0, seed=9)
+    model = AnalyticNet()
+    variables = {"params": {}}
+    v = np.asarray(percentile_normalize(vol.image))
+
+    want = np.asarray(make_infer_fn(model, cfg, normalize=False)(
+        variables, jnp.asarray(v)))
+    assert want.max() >= 6
+
+    mesh = make_zy_mesh(mesh_shape)
+    got = np.asarray(make_sharded_infer_fn(model, cfg, mesh, normalize=False)(
+        variables, shard_volume(jnp.asarray(v), mesh)))
+    np.testing.assert_array_equal(got, want)
+
+    # the fixture must exercise y-boundary (and ideally corner) crossings
+    hl = 32 // mesh_shape[1]
+    crossing_y = 0
+    for lbl in np.unique(got[got > 0]):
+        ys = np.argwhere(got == lbl)[:, 1]
+        if (ys // hl).min() != (ys // hl).max():
+            crossing_y += 1
+    assert crossing_y >= 2, f"only {crossing_y} y-boundary-crossing instances"
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4)])
+def test_sharded_2d_normalize_and_calibration(cfg, mesh_shape):
+    """2-D mesh with histogram normalization + calibrated fg threshold still
+    matches the single-device pipeline."""
+    import dataclasses
+
+    ccfg = dataclasses.replace(
+        cfg, postproc=dataclasses.replace(cfg.postproc, fg_target_fraction=0.03)
+    )
+    vol = synthesize_volume(shape=(32, 32, 32), num_instances=10,
+                            radius_range=(3.0, 5.0), noise=0.0, seed=9)
+    model = AnalyticNet()
+    variables = {"params": {}}
+    raw = vol.image * 900.0 + 100.0
+
+    want = np.asarray(make_infer_fn(model, ccfg, normalize=True)(
+        variables, jnp.asarray(raw)))
+    mesh = make_zy_mesh(mesh_shape)
+    got = np.asarray(make_sharded_infer_fn(model, ccfg, mesh, normalize=True)(
+        variables, shard_volume(jnp.asarray(raw), mesh)))
+    agree = (got == want).mean()
+    assert agree > 0.999, agree
+
+
+@pytest.mark.slow
+def test_sharded_equals_single_device_real_unet():
+    """VERDICT r1 item 4: the REAL U-Net (2-level, RF=11) through the sharded
+    path on the 8-device mesh, with trained-enough weights, must equal the
+    single-device fused pipeline elementwise — proving conv-halo + BN +
+    reconciliation compose for a net with RF > 0 across shard boundaries.
+
+    shard_halo=16 >= RF(11) + flood margin; slab depth 128/8 = 16 >= halo.
+    Calibration (fg_target_fraction) keeps the partially-trained fg mask
+    blob-shaped so basins satisfy the halo locality contract.
+    """
+    import dataclasses
+
+    from tpuseg.core import DataConfig, TrainConfig
+    from tpuseg.models import build_model
+    from tpuseg.ops.calibrate import expected_fg_fraction
+    from tpuseg.train import train
+
+    vol = synthesize_volume(shape=(128, 48, 48), num_instances=24,
+                            radius_range=(3.5, 5.5), seed=7)
+    frac = expected_fg_fraction(vol.half_sizes, vol.image.size)
+    tcfg = Config(
+        model=ModelConfig(features=(8, 16), num_groups=4, head_features=8,
+                          compute_dtype="float32"),
+        data=DataConfig(patch_size=(24, 24, 24), batch_size=2,
+                        max_instances=16, peak_sigma=2.5),
+        train=TrainConfig(total_steps=120, warmup_steps=10, lr=3e-3,
+                          log_every=60, ckpt_every=10_000),
+        infer=InferConfig(tile=(16, 24, 24), halo=12, compute_dtype="float32",
+                          shard_halo=16, shard_max_labels=256),
+        postproc=PostprocConfig(peak_threshold=0.35, fg_threshold=0.5,
+                                nms_radius=2, min_size=20, flood_iters=12,
+                                fg_target_fraction=frac),
+    )
+    state, _ = train(tcfg, [vol])
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    model = build_model(tcfg.model)
+
+    want = np.asarray(make_infer_fn(model, tcfg)(
+        variables, jnp.asarray(vol.image)))
+    assert want.max() >= 12  # trained well enough to find most nuclei
+
+    mesh = make_z_mesh()
+    got = np.asarray(make_sharded_infer_fn(model, tcfg, mesh)(
+        variables, shard_volume(jnp.asarray(vol.image), mesh)))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_sharded_calibrated_threshold_equals_single(cfg, volume):

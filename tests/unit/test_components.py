@@ -72,3 +72,49 @@ def test_compact_relabel_dense_and_order_preserving():
     assert out[0, 0, 1] == 1   # 5 -> 1
     assert out[0, 1, 2] == 2   # 17 -> 2
     assert out[0, 1, 0] == 3   # 900 -> 3
+
+
+def test_label_components_and_connectivity_validator():
+    """label_components splits equal-label voxels by connectivity;
+    labels_are_connected validates the watershed invariant (ARCHITECTURE.md
+    "Why there is no CC pass in the pipeline")."""
+    import numpy as np
+
+    from tpuseg.ops.components import label_components, labels_are_connected
+
+    lab = np.zeros((4, 8, 8), np.int32)
+    lab[1, 1:3, 1:3] = 5          # one connected instance
+    lab[1, 5:7, 5:7] = 7          # another label...
+    lab[3, 1:3, 1:3] = 7          # ...with a DISCONNECTED second piece
+    comps = np.asarray(label_components(lab))
+    # the two 7-pieces get different component roots
+    assert comps[1, 5, 5] != comps[3, 1, 1]
+    assert not labels_are_connected(lab)
+
+    lab[2:4, 1:3, 1:3] = 0        # remove the disconnected piece
+    assert labels_are_connected(lab)
+
+
+def test_pipeline_output_instances_are_connected():
+    """The fused pipeline's instances satisfy the connectivity invariant on a
+    real (blob-map) run — the production consumer of the C13 validator."""
+    import numpy as np
+
+    from tpuseg.ops import size_filter_and_compact, watershed
+    from tpuseg.ops.components import labels_are_connected
+
+    rng = np.random.default_rng(3)
+    shape = (24, 32, 32)
+    zz, yy, xx = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape],
+                             indexing="ij")
+    fg = np.zeros(shape, np.float32)
+    pk = np.zeros(shape, np.float32)
+    for _ in range(6):
+        c = [rng.uniform(4, s - 4) for s in shape]
+        d2 = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+        pk = np.maximum(pk, np.exp(-0.5 * d2 / 4.0).astype(np.float32))
+        fg = np.maximum(fg, (d2 < 16).astype(np.float32) * 0.9)
+    labels = np.asarray(size_filter_and_compact(
+        watershed(fg, pk, flood_iters=24), 5))
+    assert labels.max() >= 4
+    assert labels_are_connected(labels)

@@ -74,3 +74,37 @@ def test_metrics_jsonl_written(vol, tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     assert len(lines) >= 2
     assert {"step", "loss", "peak_loss", "fg_loss", "grad_norm", "mvox_per_s"} <= set(lines[0])
+
+
+def test_prefetch_matches_synchronous_training(tmp_path):
+    """Background prefetch (train.prefetch_depth>0) must not change training:
+    batches are pure fns of (seed, consumed-step), so prefetched and
+    synchronous runs produce identical parameters."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tpuseg.core import Config, DataConfig, ModelConfig, TrainConfig
+    from tpuseg.data import synthesize_volume
+    from tpuseg.train import train
+
+    vol = synthesize_volume(shape=(32, 32, 32), num_instances=5, seed=2)
+
+    def run(depth, sub):
+        cfg = Config(
+            model=ModelConfig(features=(4, 8), num_groups=2, head_features=4,
+                              compute_dtype="float32"),
+            data=DataConfig(patch_size=(16, 16, 16), batch_size=2,
+                            max_instances=8),
+            train=TrainConfig(total_steps=6, warmup_steps=2, log_every=3,
+                              ckpt_every=100, prefetch_depth=depth,
+                              ckpt_dir=str(tmp_path / sub)),
+        )
+        state, history = train(cfg, [vol])
+        return jax.device_get(state.params), history
+
+    p_sync, h_sync = run(0, "sync")
+    p_pre, h_pre = run(2, "pre")
+    jax.tree.map(np.testing.assert_array_equal, p_sync, p_pre)
+    assert h_sync[-1]["loss"] == h_pre[-1]["loss"]

@@ -137,3 +137,33 @@ def test_saturated_plateau_instance_resolves_with_default_rounds():
     inside = lab[4:28, 4:28, 4:28]
     assert (inside > 0).all(), "plateau voxels left unlabeled (rounds too low)"
     assert len(np.unique(inside)) == 1, "plateau split into multiple basins"
+
+
+def test_dense_label_space_matches_index_space():
+    """watershed(label_space="dense") + dense filter == index labels +
+    size_filter_and_compact, elementwise (same NMS-rank ordering)."""
+    import numpy as np
+
+    from tpuseg.ops import size_filter_and_compact, watershed
+    from tpuseg.ops.filter import max_seed_count, size_filter_and_compact_dense
+
+    rng = np.random.default_rng(5)
+    shape = (24, 32, 40)
+    zz, yy, xx = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape],
+                             indexing="ij")
+    fg = np.zeros(shape, np.float32)
+    pk = np.zeros(shape, np.float32)
+    for _ in range(8):
+        c = [rng.uniform(3, s - 3) for s in shape]
+        d2 = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+        pk = np.maximum(pk, np.exp(-0.5 * d2 / 2.0**2).astype(np.float32))
+        fg = np.maximum(fg, (d2 < rng.uniform(9, 20)).astype(np.float32) * 0.9)
+
+    for method in ("ascent", "flood"):
+        want = np.asarray(size_filter_and_compact(
+            watershed(fg, pk, method=method, flood_iters=24,
+                      label_space="index"), 10))
+        got = np.asarray(size_filter_and_compact_dense(
+            watershed(fg, pk, method=method, flood_iters=24,
+                      label_space="dense"), 10, max_seed_count(shape, 2)))
+        np.testing.assert_array_equal(got, want, err_msg=method)

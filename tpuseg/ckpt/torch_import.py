@@ -93,7 +93,8 @@ def torch_state_dict_from_flax(variables: Mapping[str, Any]) -> Dict[str, Any]:
     for path, v in _flatten(variables.get("params", {})).items():
         *mods, leaf = path
         key = ".".join(mods)
-        v = np.asarray(v, np.float32)
+        # copy: torch.from_numpy rejects non-writable views (jax exports)
+        v = np.array(v, np.float32)
         if leaf == "kernel":  # (kd, kh, kw, I, O) -> (O, I, kd, kh, kw)
             sd[f"{key}.weight"] = torch.from_numpy(
                 np.ascontiguousarray(np.transpose(v, (4, 3, 0, 1, 2))))
@@ -107,7 +108,7 @@ def torch_state_dict_from_flax(variables: Mapping[str, Any]) -> Dict[str, Any]:
         *mods, leaf = path
         key = ".".join(mods)
         name = {"mean": "running_mean", "var": "running_var"}[leaf]
-        sd[f"{key}.{name}"] = torch.from_numpy(np.asarray(v, np.float32))
+        sd[f"{key}.{name}"] = torch.from_numpy(np.array(v, np.float32))
     return sd
 
 

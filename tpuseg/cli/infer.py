@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--stream", type=int, default=0, metavar="CHUNK_Z",
                    help="stream the volume through the device in z-chunks of "
                         "this depth (for volumes larger than HBM)")
+    p.add_argument("--validate", action="store_true",
+                   help="check the output invariant that every instance is "
+                        "one 6-connected component (ops.label_components)")
     args = p.parse_args(argv)
     cfg = load_config(args)
 
@@ -54,6 +57,14 @@ def main(argv=None):
         infer = make_infer_fn(model, cfg, normalize=not args.no_normalize)
         labels = np.asarray(infer(variables, jnp.asarray(volume)))
     dt = time.perf_counter() - t0
+
+    if args.validate:
+        from tpuseg.ops.components import labels_are_connected
+
+        ok = labels_are_connected(labels)
+        print(f"connectivity validation: {'OK' if ok else 'FAILED'}")
+        if not ok:
+            raise SystemExit(3)
 
     save_volume(args.output, labels)
     n = int(labels.max())

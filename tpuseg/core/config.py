@@ -69,6 +69,11 @@ class DataConfig:
     peak_sigma: float = 3.0       # gaussian radius of the peak target
     box_ignore_margin: int = 2    # ignore ring (voxels) around each box for fg loss
     normalize_pcts: Tuple[float, float] = (1.0, 99.8)
+    normalize_sample_stride: int = 4  # histogram percentiles from every k-th
+                                      # x-voxel: 4x less scatter traffic; the
+                                      # stride runs along the UNSHARDED x axis
+                                      # so fused/sharded/streamed paths sample
+                                      # the identical voxel set (exact parity)
     augment: bool = True
 
 
@@ -87,6 +92,9 @@ class TrainConfig:
     ckpt_dir: str = "/tmp/tpuseg_ckpt"
     keep_ckpts: int = 3
     data_axis: str = "data"       # DP mesh axis name
+    prefetch_depth: int = 2       # background batches sampled+uploaded ahead
+                                  # of the device (data/prefetch.py); 0 = the
+                                  # synchronous in-loop sampling
 
 
 @dataclass(frozen=True)

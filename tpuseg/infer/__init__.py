@@ -1,6 +1,8 @@
 from tpuseg.infer.tiles import tiled_forward
 from tpuseg.infer.pipeline import infer_volume, make_infer_fn
-from tpuseg.infer.sharded import make_sharded_infer_fn, make_z_mesh, shard_volume
+from tpuseg.infer.sharded import (
+    make_sharded_infer_fn, make_z_mesh, make_zy_mesh, shard_volume,
+)
 from tpuseg.infer.streaming import stream_infer
 
 __all__ = [
@@ -9,6 +11,7 @@ __all__ = [
     "make_infer_fn",
     "make_sharded_infer_fn",
     "make_z_mesh",
+    "make_zy_mesh",
     "shard_volume",
     "stream_infer",
 ]

@@ -24,7 +24,8 @@ from tpuseg.core import Config
 from tpuseg.core.dtypes import resolve
 from tpuseg.data.normalize import histogram_percentile_normalize
 from tpuseg.infer.tiles import rf_radius_bound, tiled_forward
-from tpuseg.ops import size_filter_and_compact, watershed
+from tpuseg.ops import watershed
+from tpuseg.ops.filter import max_seed_count, size_filter_and_compact_dense
 
 
 def _postprocess(fg_prob, peak_prob, cfg: Config):
@@ -36,6 +37,9 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         )
     else:
         fg_threshold = cfg.postproc.fg_threshold
+    # dense label space: instances numbered by NMS seed rank (same final
+    # numbering as index labels + compact_relabel), so the size filter's
+    # histogram table is max_seed_count-sized, not volume-sized
     labels = watershed(
         fg_prob,
         peak_prob,
@@ -47,9 +51,11 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         ascent_rounds=cfg.postproc.ascent_rounds,
         nms_impl=cfg.postproc.nms_impl,
         resolve_impl=cfg.postproc.resolve_impl,
+        label_space="dense",
     )
-    # fused histogram pass == size_filter + compact_relabel (same numbering)
-    return size_filter_and_compact(labels, cfg.postproc.min_size)
+    return size_filter_and_compact_dense(
+        labels, cfg.postproc.min_size,
+        max_seed_count(fg_prob.shape, cfg.postproc.nms_radius))
 
 
 def make_infer_fn(model, cfg: Config, normalize: bool = True):
@@ -81,7 +87,9 @@ def make_infer_fn(model, cfg: Config, normalize: bool = True):
     def infer(variables, volume):
         vol = volume.astype(jnp.float32)
         if normalize:
-            vol = histogram_percentile_normalize(vol, cfg.data.normalize_pcts)
+            vol = histogram_percentile_normalize(
+                vol, cfg.data.normalize_pcts,
+                sample_stride=cfg.data.normalize_sample_stride)
         out = tiled_forward(
             apply_fn,
             variables,

@@ -185,7 +185,7 @@ def _use_pallas(resolve_impl: str, shape) -> bool:
     jax.jit,
     static_argnames=(
         "peak_radius", "flood_iters", "method", "static_shapes", "ascent_rounds",
-        "nms_impl", "resolve_impl",
+        "nms_impl", "resolve_impl", "label_space",
     ),
 )
 def watershed(
@@ -200,6 +200,7 @@ def watershed(
     ascent_rounds: int | None = None,
     nms_impl: str = "xla",
     resolve_impl: str = "auto",
+    label_space: str = "index",
 ) -> jnp.ndarray:
     """Full instance extraction: peak NMS seeds -> seeded watershed over the
     foreground mask. Returns int32 labels (root-index labels; call
@@ -214,6 +215,13 @@ def watershed(
     traffic on the post-proc stages), or "auto" (pallas on TPU when the
     volume shape supports it). Results are elementwise identical once the
     iteration caps are reached/converged (tests/unit/test_pallas_resolve.py).
+
+    ``label_space``: "index" labels instances by basin-root linear index + 1
+    (globally comparable — the sharded/streamed paths need this to lift to
+    global ids); "dense" labels by the seed's NMS rank (1..S ascending in
+    seed index — same final numbering after compaction) so the downstream
+    size filter works on a (max_seed_count,)-sized table instead of an
+    (N+1,)-sized one (ops.filter.size_filter_and_compact_dense).
     """
     from tpuseg.ops.peaks import peak_nms  # local import to avoid cycle
 
@@ -227,6 +235,17 @@ def watershed(
     seeds = seeds & fg_mask
     idx = linear_index(fg_prob.shape)
     pallas = _use_pallas(resolve_impl, fg_prob.shape)
+
+    if label_space == "dense":
+        # seed id = NMS rank (1..S, ascending in linear index) — the same
+        # ordering compaction produces from index labels
+        seed_id = jnp.cumsum(seeds.ravel().astype(jnp.int32)).reshape(seeds.shape)
+        unseeded_root_id = jnp.int32(-1)
+    elif label_space == "index":
+        seed_id = idx + 1
+        unseeded_root_id = None  # -(idx+1), set in the branches
+    else:
+        raise ValueError(f"unknown label_space {label_space!r}")
 
     def absorb(labels):
         """Flood unlabeled fg voxels into adjacent labeled basins."""
@@ -244,9 +263,10 @@ def watershed(
         # the basin root is a seed (+) or not (-), so dropping unseeded
         # basins needs no root-index gather at all.
         dirs = steepest_dir_codes(peak_prob, fg_mask, self_sticky=seeds)
+        neg = unseeded_root_id if unseeded_root_id is not None else -(idx + 1)
         v0 = jnp.where(
             fg_mask & (dirs == 0),
-            jnp.where(seeds, idx + 1, -(idx + 1)),
+            jnp.where(seeds, seed_id, neg),
             0,
         ).astype(jnp.int32)
         v = chase_resolve(v0, dirs, fg_mask)
@@ -259,9 +279,16 @@ def watershed(
         root = labels - 1
         root_is_seed = jnp.where(labels > 0, seeds.ravel()[root.ravel()].reshape(labels.shape), False)
         labels = jnp.where(root_is_seed, labels, 0)
+        if label_space == "dense":
+            # root is a seed wherever labels > 0 -> its NMS rank is valid
+            labels = jnp.where(
+                labels > 0,
+                seed_id.ravel()[(labels - 1).ravel()].reshape(labels.shape),
+                0,
+            )
         labels = absorb(labels)
     elif method == "flood":
-        seed_labels = jnp.where(seeds, idx + 1, 0).astype(jnp.int32)
+        seed_labels = jnp.where(seeds, seed_id, 0).astype(jnp.int32)
         if pallas:
             from tpuseg.ops.pallas_resolve import flood_resolve
 

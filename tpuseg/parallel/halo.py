@@ -18,40 +18,54 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def exchange_z_halo(slab: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
-    """(Dl, H, W) -> (Dl + 2*halo, H, W) with neighbor context.
+def exchange_halo(slab: jnp.ndarray, halo: int, axis: str,
+                  dim: int = 0) -> jnp.ndarray:
+    """Extend ``slab`` by ``halo`` planes of neighbor context along spatial
+    dimension ``dim``, exchanged over mesh axis ``axis``.
 
-    Shard i receives the last ``halo`` planes of shard i-1 above and the
-    first ``halo`` planes of shard i+1 below. Edge shards edge-replicate.
+    Shard i receives the last ``halo`` planes of shard i-1 before and the
+    first ``halo`` planes of shard i+1 after. Edge shards edge-replicate
+    (matches ``jnp.pad(mode="edge")``). 2-D (z, y) sharding composes two
+    calls — the second exchange carries the first's halo planes along, so
+    diagonal-corner context arrives transitively through the neighbors.
     """
-    if halo > slab.shape[0]:
+    if halo > slab.shape[dim]:
         raise ValueError(
-            f"halo ({halo}) exceeds the local slab depth ({slab.shape[0]}); "
-            "a single ppermute only reaches the immediate neighbor — use more "
-            "z per shard or fewer shards"
+            f"halo ({halo}) exceeds the local slab extent "
+            f"({slab.shape[dim]}) on dim {dim}; a single ppermute only "
+            "reaches the immediate neighbor — use a bigger slab or fewer "
+            "shards on this axis"
         )
     n = lax.axis_size(axis)
     idx = lax.axis_index(axis)
+    size = slab.shape[dim]
 
-    top_send = slab[:halo]       # my first planes -> neighbor above (i-1)
-    bot_send = slab[-halo:]      # my last planes  -> neighbor below (i+1)
+    lo_send = lax.slice_in_dim(slab, 0, halo, axis=dim)        # -> neighbor i-1
+    hi_send = lax.slice_in_dim(slab, size - halo, size, axis=dim)  # -> i+1
 
     if n > 1:
-        # from_above[i] = bot_send[i-1]; from_below[i] = top_send[i+1]
-        from_above = lax.ppermute(
-            bot_send, axis, [(i, i + 1) for i in range(n - 1)]
+        # from_before[i] = hi_send[i-1]; from_after[i] = lo_send[i+1]
+        from_before = lax.ppermute(
+            hi_send, axis, [(i, i + 1) for i in range(n - 1)]
         )
-        from_below = lax.ppermute(
-            top_send, axis, [(i + 1, i) for i in range(n - 1)]
+        from_after = lax.ppermute(
+            lo_send, axis, [(i + 1, i) for i in range(n - 1)]
         )
     else:
-        from_above = jnp.zeros_like(bot_send)
-        from_below = jnp.zeros_like(top_send)
+        from_before = jnp.zeros_like(hi_send)
+        from_after = jnp.zeros_like(lo_send)
 
     # edge shards: replicate own boundary plane (matches jnp.pad mode="edge")
-    top_edge = jnp.broadcast_to(slab[:1], (halo, *slab.shape[1:]))
-    bot_edge = jnp.broadcast_to(slab[-1:], (halo, *slab.shape[1:]))
-    from_above = jnp.where(idx == 0, top_edge, from_above)
-    from_below = jnp.where(idx == n - 1, bot_edge, from_below)
+    first = lax.slice_in_dim(slab, 0, 1, axis=dim)
+    last = lax.slice_in_dim(slab, size - 1, size, axis=dim)
+    rep = list(slab.shape)
+    rep[dim] = halo
+    from_before = jnp.where(idx == 0, jnp.broadcast_to(first, rep), from_before)
+    from_after = jnp.where(idx == n - 1, jnp.broadcast_to(last, rep), from_after)
 
-    return jnp.concatenate([from_above, slab, from_below], axis=0)
+    return jnp.concatenate([from_before, slab, from_after], axis=dim)
+
+
+def exchange_z_halo(slab: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
+    """(Dl, H, W) -> (Dl + 2*halo, H, W) with z-neighbor context."""
+    return exchange_halo(slab, halo, axis, dim=0)

@@ -81,22 +81,38 @@ def apply_label_map(labels: jnp.ndarray, keys: jnp.ndarray, reps: jnp.ndarray):
     return jnp.where(hit & (labels > 0), reps[pos], labels)
 
 
-def merge_boundary_labels(
-    labels: jnp.ndarray,        # (Dl, H, W) core labels, global ids
-    overlap_mine: jnp.ndarray,  # (H, W) my labels for the overlap plane
-    overlap_theirs: jnp.ndarray,  # (H, W) neighbor's labels for the SAME plane
-    axis: str,
-) -> jnp.ndarray:
-    """Union labels that name the same voxel differently across a shard
-    boundary; returns the renamed core labels. Call inside shard_map."""
+def boundary_edges(overlap_mine: jnp.ndarray,
+                   overlap_theirs: jnp.ndarray) -> jnp.ndarray:
+    """(E, 2) int32 rename edges from two labelings of the SAME overlap
+    plane; rows with 0 are inactive."""
     both = (overlap_mine > 0) & (overlap_theirs > 0) & (overlap_mine != overlap_theirs)
-    edges = jnp.stack(
+    return jnp.stack(
         [
             jnp.where(both, overlap_mine, 0).ravel(),
             jnp.where(both, overlap_theirs, 0).ravel(),
         ],
         axis=-1,
     )
+
+
+def merge_boundary_labels(
+    labels: jnp.ndarray,          # (Dl, Hl, W) core labels, global ids
+    overlap_mine: jnp.ndarray,    # my labels for the overlap plane, or a list
+    overlap_theirs=None,          # neighbor's labels for the SAME plane
+    axis=None,                    # mesh axis name or tuple of names
+) -> jnp.ndarray:
+    """Union labels that name the same voxel differently across a shard
+    boundary; returns the renamed core labels. Call inside shard_map.
+
+    Either pass one (mine, theirs) plane pair, or — for multi-axis (z, y)
+    sharding — ``overlap_mine`` as a list of (mine, theirs) pairs (one per
+    sharded dimension); all edges go through ONE gathered closure so corner-
+    crossing instances merge transitively."""
+    if overlap_theirs is None:
+        pairs = overlap_mine
+    else:
+        pairs = [(overlap_mine, overlap_theirs)]
+    edges = jnp.concatenate([boundary_edges(m, t) for m, t in pairs], axis=0)
     all_edges = lax.all_gather(edges, axis).reshape(-1, 2)
     keys, reps = _closure_table(all_edges)
     return apply_label_map(labels, keys, reps)

@@ -77,31 +77,56 @@ def train(
     step_rng = jax.random.key(cfg.train.seed + 1)
     voxels_per_batch = cfg.data.batch_size * int(np.prod(cfg.data.patch_size))
 
+    # background sampling + H2D upload overlapping device compute (SURVEY §7
+    # hard part 5); state_dict() counts CONSUMED batches, so checkpoints stay
+    # exact-resume (tests/unit/test_train_step.py)
+    if cfg.train.prefetch_depth > 0:
+        from tpuseg.data.prefetch import BatchPrefetcher
+
+        feed = BatchPrefetcher(sampler, put, depth=cfg.train.prefetch_depth)
+    else:
+        class _Sync:
+            consumed_step = start_step
+
+            def next(self):
+                return put(sampler.next_batch())
+
+            def state_dict(self):
+                return sampler.state_dict()
+
+            def close(self):
+                pass
+
+        feed = _Sync()
+
     history = []
-    t_last = time.perf_counter()
-    for step in range(start_step, cfg.train.total_steps):
-        batch = put(sampler.next_batch())
-        state, metrics = step_fn(state, batch, step_rng)
-        if (step + 1) % cfg.train.log_every == 0 or step + 1 == cfg.train.total_steps:
-            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            now = time.perf_counter()
-            dt = now - t_last
-            t_last = now
-            mvox_s = voxels_per_batch * cfg.train.log_every / dt / 1e6
-            logger.log(step + 1, metrics, mvox_per_s=round(mvox_s, 3))
-            history.append({"step": step + 1, **metrics, "mvox_per_s": mvox_s})
-        if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == cfg.train.total_steps:
-            mgr.save(
-                step + 1,
-                jax.device_get(state.params),
-                jax.device_get(state.opt_state),
-                meta={
-                    "step": step + 1,
-                    "sampler": sampler.state_dict(),
-                    "config": cfg.to_dict(),
-                },
-                batch_stats=jax.device_get(state.batch_stats),
-            )
+    try:
+        t_last = time.perf_counter()
+        for step in range(start_step, cfg.train.total_steps):
+            batch = feed.next()
+            state, metrics = step_fn(state, batch, step_rng)
+            if (step + 1) % cfg.train.log_every == 0 or step + 1 == cfg.train.total_steps:
+                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                now = time.perf_counter()
+                dt = now - t_last
+                t_last = now
+                mvox_s = voxels_per_batch * cfg.train.log_every / dt / 1e6
+                logger.log(step + 1, metrics, mvox_per_s=round(mvox_s, 3))
+                history.append({"step": step + 1, **metrics, "mvox_per_s": mvox_s})
+            if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == cfg.train.total_steps:
+                mgr.save(
+                    step + 1,
+                    jax.device_get(state.params),
+                    jax.device_get(state.opt_state),
+                    meta={
+                        "step": step + 1,
+                        "sampler": feed.state_dict(),
+                        "config": cfg.to_dict(),
+                    },
+                    batch_stats=jax.device_get(state.batch_stats),
+                )
+    finally:
+        feed.close()
     mgr.wait()
     logger.close()
     return state, history
