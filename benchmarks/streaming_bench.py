@@ -89,9 +89,12 @@ def main():
     from tpuseg.models import build_model
     from tpuseg.ops.calibrate import expected_fg_fraction
 
-    shape = tuple(int(a) for a in sys.argv[1:4]) or (288, 2048, 2048)
+    # deep-z shape: ext chunks (chunk_z + 2*halo, 1024, 1024) hold ~8 live
+    # f32 volume-sized buffers through the fused chunk program — (D, 2048,
+    # 2048) planes blew HBM (25.4 GB needed of 15.75)
+    shape = tuple(int(a) for a in sys.argv[1:4]) or (1152, 1024, 1024)
     if len(shape) != 3:
-        shape = (288, 2048, 2048)
+        shape = (1152, 1024, 1024)
     gvox = float(np.prod(shape)) / 1e9
     vol_path = "/tmp/stream_vol.npy"
     lab_path = "/tmp/stream_labels.npy"
@@ -114,7 +117,8 @@ def main():
                                     shape=shape)
     print("streaming inference...", flush=True)
     t0 = time.perf_counter()
-    labels = stream_infer(model, cfg, variables, vol, out=out, chunk_z=48)
+    labels = stream_infer(model, cfg, variables, vol, out=out, chunk_z=96,
+                          halo=16)
     dt = time.perf_counter() - t0
     n = int(labels.max())
     res = {
@@ -126,7 +130,8 @@ def main():
         "n_instances": n,
         "n_instances_gt": int(len(centers)),
         "calibrated": True,
-        "chunk_z": 48,
+        "chunk_z": 96,
+        "halo": 16,
         "device": str(jax.devices()[0]),
         "host_label_buffer": "int32 memmap (4 B/voxel); no full-volume int64",
     }

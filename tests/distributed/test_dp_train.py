@@ -23,10 +23,11 @@ def setup():
     cfg = Config(
         model=ModelConfig(features=(4, 8), num_groups=2, head_features=4,
                           compute_dtype="float32"),
-        # augment=False: per-shard RNG folding intentionally differs from
-        # single-device; determinism of the collective path is what's tested
+        # augment=True: per-example keys fold the GLOBAL example index
+        # (train.step.prepare_batch), so the augmented DP path must equal
+        # single-device exactly (r1 weak #7)
         data=DataConfig(patch_size=(16, 16, 16), batch_size=8, max_instances=8,
-                        augment=False),
+                        augment=True),
         train=TrainConfig(lr=1e-3, warmup_steps=1, total_steps=4),
     )
     vol = synthesize_volume(shape=(32, 32, 32), num_instances=4, seed=0)

@@ -45,9 +45,9 @@ def make_dp_train_step(model, cfg: Config, mesh: Mesh):
     inner = make_train_step(model, cfg, axis_name=axis)
 
     def mapped(state, batch, rng):
-        # same PRNG on all shards; fold in the axis index so augmentations
-        # differ per shard while staying reproducible
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        # same PRNG on all shards; per-example augmentation keys come from
+        # the GLOBAL example index inside the step (train.step.prepare_batch),
+        # so augmented DP training equals single-device exactly
         return inner(state, batch, rng)
 
     smapped = shard_map(

@@ -76,11 +76,19 @@ def create_train_state(model, cfg: Config, rng: jax.Array) -> TrainState:
     )
 
 
-def prepare_batch(batch: Dict[str, jnp.ndarray], cfg: Config, rng: jax.Array):
-    """Raw sampler batch -> (images NDHWC, target dict). Fully jittable."""
+def prepare_batch(batch: Dict[str, jnp.ndarray], cfg: Config, rng: jax.Array,
+                  example_offset=0):
+    """Raw sampler batch -> (images NDHWC, target dict). Fully jittable.
+
+    Per-example augmentation keys are derived by folding the GLOBAL example
+    index (``example_offset + i``) into ``rng`` — not by splitting a local
+    key — so a DP shard holding examples [k*b_local, (k+1)*b_local) draws
+    exactly the keys the single-device run draws for those examples, and
+    augmented DP training is bitwise-equal to single-device
+    (tests/distributed/test_dp_train.py)."""
     patch = cfg.data.patch_size
 
-    def one(img, centers, halfs, valid, key):
+    def one(img, centers, halfs, valid, idx):
         # histogram percentile: O(N) vs the O(N log N) sort, error < 1/4096
         # of the intensity range — noise next to the augmentation jitter
         img = histogram_percentile_normalize(img, cfg.data.normalize_pcts)
@@ -90,20 +98,21 @@ def prepare_batch(batch: Dict[str, jnp.ndarray], cfg: Config, rng: jax.Array):
             margin=cfg.data.box_ignore_margin,
         )
         if cfg.data.augment:
-            img, tgt = augment_patch(key, img, tgt)
+            img, tgt = augment_patch(jax.random.fold_in(rng, idx), img, tgt)
         return img, tgt
 
     b = batch["image"].shape[0]
-    keys = jax.random.split(rng, b)
+    idxs = example_offset + jnp.arange(b, dtype=jnp.int32)
     imgs, tgts = jax.vmap(one)(
         batch["image"], batch["centers"], batch["half_sizes"],
-        batch["valid"], keys,
+        batch["valid"], idxs,
     )
     return imgs[..., None], tgts
 
 
-def loss_fn(params, batch_stats, model, batch, cfg: Config, rng: jax.Array):
-    imgs, tgts = prepare_batch(batch, cfg, rng)
+def loss_fn(params, batch_stats, model, batch, cfg: Config, rng: jax.Array,
+            example_offset=0):
+    imgs, tgts = prepare_batch(batch, cfg, rng, example_offset=example_offset)
     out, new_vars = model.apply(
         {"params": params, "batch_stats": batch_stats},
         imgs, train=True, mutable=["batch_stats"],
@@ -123,9 +132,16 @@ def make_train_step(model, cfg: Config, axis_name: str | None = None):
 
     def step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
+        # global index of this shard's first example: DP shards draw the same
+        # per-example augmentation keys as a single-device run (see
+        # prepare_batch)
+        if axis_name is not None:
+            offset = jax.lax.axis_index(axis_name) * batch["image"].shape[0]
+        else:
+            offset = 0
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, model, batch, cfg, rng)
+        )(state.params, state.batch_stats, model, batch, cfg, rng, offset)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
