@@ -97,12 +97,21 @@ def get_cpu_baseline(path, variables=None, tag="untrained") -> dict:
 
 def make_cfg(compute_dtype="bfloat16", tile=(96, 256, 256), tile_batch=1,
              **post):
-    from tpuseg.core import Config, InferConfig, PostprocConfig
+    from tpuseg.core import Config, InferConfig, ModelConfig, PostprocConfig
 
-    # tile tuned on-chip (r2 sweep): (96,256,256) tb=1 -> 1.39s net sweep vs
-    # 1.67s for (48,256,256) tb=2; (…,512,512) variants OOM at compile
+    # On-chip r2 sweeps:
+    # * tile (96,256,256) tb=1 beats (48,256,256) tb=2 (overcompute 1.69 vs
+    #   2.1); (…,512,512) variants OOM at compile.
+    # * conv_impl: at THIS tile zpack (z-taps folded into channels) runs the
+    #   sweep in 0.78 s vs native 1.38 s (the r1 winner at the old tile) —
+    #   schedule choice is shape-dependent, so the library default stays
+    #   "native" and the flagship bench pins the measured winner.
+    # * halo 8 vs 16: instance F1 1.0000 and mean matched IoU 0.867 are
+    #   IDENTICAL on the trained eval stack while e2e drops 4.1 -> 3.1 s;
+    #   the halo<RF warning documents the border approximation.
     return Config(
-        infer=InferConfig(tile=tile, halo=16, tile_batch=tile_batch,
+        model=ModelConfig(conv_impl="zpack"),
+        infer=InferConfig(tile=tile, halo=8, tile_batch=tile_batch,
                           compute_dtype=compute_dtype),
         postproc=PostprocConfig(**post),
     )
@@ -127,8 +136,12 @@ def get_trained_variables(cfg):
 
     from tpuseg.train import train
 
+    # train with the native conv schedule: zpack wins the INFERENCE tile
+    # sweep but is ~2x slower on 64^3 training batches (fwd+bwd); parameters
+    # are schedule-independent so the cached weights serve both
     tr = dataclasses.replace(
         cfg,
+        model=dataclasses.replace(cfg.model, conv_impl="native"),
         train=dataclasses.replace(cfg.train, total_steps=200, warmup_steps=20,
                                   lr=1e-3, log_every=40, ckpt_every=100_000),
     )
@@ -278,10 +291,15 @@ def main():
 
         # ---- config 4: training-step throughput, single chip ----
         from tpuseg.data import PatchSampler
+        from tpuseg.models import build_model as _bm
         from tpuseg.train.step import create_train_state, make_train_step
 
-        state = create_train_state(model, cfg, jax.random.key(0))
-        step_fn = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+        # native conv schedule for training (see get_trained_variables note)
+        tcfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, conv_impl="native"))
+        tmodel = _bm(tcfg.model)
+        state = create_train_state(tmodel, tcfg, jax.random.key(0))
+        step_fn = jax.jit(make_train_step(tmodel, tcfg), donate_argnums=(0,))
         sampler = PatchSampler([vol], patch_size=cfg.data.patch_size,
                                batch_size=cfg.data.batch_size,
                                max_instances=cfg.data.max_instances)

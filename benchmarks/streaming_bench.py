@@ -43,7 +43,9 @@ def build_volume(path, shape, num_instances=2500, seed=0, chunk_z=32):
     radii = rng.uniform(r_lo, r_hi, (num_instances, 1)).astype(np.float32) \
         * np.array([[0.6, 1.0, 1.0]], np.float32)
 
-    vol = np.lib.format.open_memmap(path, mode="w+", dtype=np.float32,
+    # uint16, like real microscopy stacks — and half the host->device bytes
+    # on the ~94 MB/s upload tunnel (the device normalizes whatever dtype)
+    vol = np.lib.format.open_memmap(path, mode="w+", dtype=np.uint16,
                                     shape=shape)
     order = np.argsort(centers[:, 0])
     centers, radii = centers[order], radii[order]
@@ -71,7 +73,7 @@ def build_volume(path, shape, num_instances=2500, seed=0, chunk_z=32):
                       slice(lo[2], hi[2]))
                 chunk[sl] = np.maximum(chunk[sl], blob)
             j += 1
-        vol[z0:z1] = np.clip(chunk, 0.0, 1.0)
+        vol[z0:z1] = (np.clip(chunk, 0.0, 1.0) * 65535).astype(np.uint16)
     vol.flush()
     return centers, radii
 
@@ -115,6 +117,11 @@ def main():
     vol = np.load(vol_path, mmap_mode="r")
     out = np.lib.format.open_memmap(lab_path, mode="w+", dtype=np.int32,
                                     shape=shape)
+    # warmup: one-chunk run compiles both chunk programs (identical static
+    # ext shapes) so the recorded throughput measures execution, not the
+    # remote-tunnel compile (~minutes); persistent cache keeps reruns warm
+    print("warmup (compile)...", flush=True)
+    stream_infer(model, cfg, variables, vol[:96], chunk_z=96, halo=16)
     print("streaming inference...", flush=True)
     t0 = time.perf_counter()
     labels = stream_infer(model, cfg, variables, vol, out=out, chunk_z=96,

@@ -39,19 +39,31 @@ def _common_overrides(d):
     ]
 
 
-@pytest.mark.slow
-def test_cli_train_infer_evaluate_roundtrip(fixture_dir, capsys):
-    from tpuseg.cli import evaluate, infer, train
+def _ensure_ckpt(d) -> bool:
+    """Train the 4-step fixture checkpoint once; later tests (stream/shard
+    modes) reuse it regardless of execution order/selection. Returns True
+    when training actually ran."""
+    if (d / "ckpt" / "config.json").exists():
+        return False
+    from tpuseg.cli import train
 
-    d = fixture_dir
     train.main([
         "--image", str(d / "stack.tiff"), "--annotations", str(d / "ann.npz"),
         "--set", "train.total_steps=4", "--set", "train.warmup_steps=1",
         "--set", "train.ckpt_every=4", "--log", str(d / "m.jsonl"),
         *_common_overrides(d),
     ])
+    return True
+
+
+@pytest.mark.slow
+def test_cli_train_infer_evaluate_roundtrip(fixture_dir, capsys):
+    from tpuseg.cli import evaluate, infer
+
+    d = fixture_dir
+    trained = _ensure_ckpt(d)
     out = capsys.readouterr().out
-    assert "done: step 4" in out
+    assert (not trained) or "done: step 4" in out
     assert (d / "ckpt" / "config.json").exists()
     assert len(open(d / "m.jsonl").readlines()) >= 1
 
@@ -76,6 +88,7 @@ def test_cli_infer_stream_mode(fixture_dir, capsys):
     from tpuseg.cli import infer
 
     d = fixture_dir
+    _ensure_ckpt(d)
     infer.main([
         "--checkpoint", str(d / "ckpt"),
         "--input", str(d / "stack.tiff"), "--output", str(d / "pred_stream.tiff"),
@@ -83,6 +96,33 @@ def test_cli_infer_stream_mode(fixture_dir, capsys):
         *_common_overrides(d),
     ])
     assert (d / "pred_stream.tiff").exists()
+
+
+@pytest.mark.slow
+def test_cli_infer_shard_modes(fixture_dir, capsys):
+    """--shard z8 and --shard z2,y4 drive the GSPMD paths over the 8 virtual
+    CPU devices end-to-end (checkpoint replication, mesh parsing, halo
+    exchange, reconciliation, --validate). Elementwise parity with
+    single-device is covered by tests/distributed/ on blob maps — a
+    4-step-trained net emits noise whose basins exceed any halo, so only the
+    structural contract is asserted here."""
+    from tpuseg.data.volume_io import load_volume
+    from tpuseg.cli import infer
+
+    d = fixture_dir
+    _ensure_ckpt(d)
+    for spec, name in [("z8", "pred_z8.tiff"), ("z2,y4", "pred_zy.tiff")]:
+        infer.main([
+            "--checkpoint", str(d / "ckpt"),
+            "--input", str(d / "stack.tiff"), "--output", str(d / name),
+            "--shard", spec, "--set", "infer.shard_halo=4",
+            "--validate",
+            *_common_overrides(d),
+        ])
+        out = capsys.readouterr().out
+        assert "connectivity validation: OK" in out
+        got = load_volume(str(d / name))
+        assert got.shape == (32, 48, 48) and got.max() > 0
 
 
 def test_cli_bad_override_errors(fixture_dir):

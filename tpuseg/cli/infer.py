@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--validate", action="store_true",
                    help="check the output invariant that every instance is "
                         "one 6-connected component (ops.label_components)")
+    p.add_argument("--shard", default="", metavar="MESH",
+                   help='GSPMD-shard the volume over the available devices: '
+                        '"z8" (1-D z slabs) or "z2,y4" (2-D z,y blocks); the '
+                        'axis sizes must multiply to the device count')
     args = p.parse_args(argv)
     cfg = load_config(args)
 
@@ -53,6 +57,32 @@ def main(argv=None):
         labels = stream_infer(model, cfg, variables, volume,
                               chunk_z=args.stream,
                               normalize=not args.no_normalize)
+    elif args.shard:
+        import re
+
+        from jax.sharding import Mesh
+
+        from tpuseg.infer import make_sharded_infer_fn, shard_volume
+
+        spec = [(m.group(1), int(m.group(2)))
+                for m in re.finditer(r"([zy])(\d+)", args.shard)]
+        if not spec or [a for a, _ in spec] not in (["z"], ["z", "y"]):
+            raise SystemExit(f'bad --shard spec {args.shard!r}: use "z8" or "z2,y4"')
+        shape = tuple(n for _, n in spec)
+        total = int(np.prod(shape))
+        if total > len(jax.devices()):
+            raise SystemExit(f"--shard {args.shard} needs {total} devices, "
+                             f"have {len(jax.devices())}")
+        mesh = Mesh(np.asarray(jax.devices()[:total]).reshape(shape),
+                    tuple(a for a, _ in spec))
+        infer = make_sharded_infer_fn(model, cfg, mesh,
+                                      normalize=not args.no_normalize)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        variables = jax.tree.map(lambda a: jax.device_put(a, rep), variables)
+        labels = np.asarray(infer(
+            variables, shard_volume(jnp.asarray(volume), mesh)))
     else:
         infer = make_infer_fn(model, cfg, normalize=not args.no_normalize)
         labels = np.asarray(infer(variables, jnp.asarray(volume)))

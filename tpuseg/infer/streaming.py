@@ -87,6 +87,7 @@ def _mask_fake(prob, mask_top, mask_bot):
 def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
                     calib_bins: int = 4096):
     compute_dtype = resolve(cfg.infer.compute_dtype)
+    ext_shape_z = chunk_z + 2 * halo
 
     def apply_fn(variables, x):
         return model.apply(variables, x)
@@ -128,7 +129,13 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
             nms_impl=cfg.postproc.nms_impl,
             resolve_impl=cfg.postproc.resolve_impl,
         )
-        return labels  # int32 local ext-chunk indices (+1), unfiltered
+        # crop ON DEVICE: only the core + the one overlap plane leave the
+        # chip (device->host runs at ~27 MB/s through this tunnel — ext-
+        # volume downloads dominated the round-1 streamed wall time)
+        core = labels[halo : halo + chunk_z]
+        overlap = labels[halo + chunk_z] if halo + chunk_z < ext_shape_z \
+            else jnp.zeros_like(labels[0])
+        return core, overlap  # int32 local ext-chunk indices (+1), unfiltered
 
     return fg_hist_fn, chunk_fn
 
@@ -142,10 +149,14 @@ def _chunk_histogram(vol_chunk: np.ndarray, lo: float, span: float, bins: int):
 def _read_ext(volume, z0, z1, halo, ext_z, D):
     """Extended chunk [z0-halo, z1+halo), clipped + edge-replicated at volume
     ends and padded up to the static ext shape. Returns (ext, mask_top,
-    mask_bot) where the masks count fake planes at each end."""
+    mask_bot) where the masks count fake planes at each end.
+
+    The SOURCE dtype is preserved (uint8/uint16 microscopy uploads at 1-2
+    bytes/voxel instead of 4; the device casts to f32 during normalization —
+    host->device also rides the slow tunnel here)."""
     lo_z, hi_z = z0 - halo, z1 + halo
     r0, r1 = max(lo_z, 0), min(hi_z, D)
-    ext = np.asarray(volume[r0:r1], np.float32)
+    ext = np.asarray(volume[r0:r1])
     pad_top, pad_bot = r0 - lo_z, hi_z - r1
     pad_static = ext_z - (pad_top + ext.shape[0] + pad_bot)
     if pad_top or pad_bot or pad_static:
@@ -235,24 +246,25 @@ def stream_infer(
         fg_thr = cfg.postproc.fg_threshold
 
     # ---- pass 2: chunked net + watershed, host reconciliation ----
+    # Pipelined: while the host ingests chunk N's (async-copied) results,
+    # chunk N+1's upload + compute are already in flight — the ~27 MB/s
+    # device->host tunnel copy overlaps the next chunk's device work instead
+    # of serializing after it. Only the core labels + ONE overlap plane are
+    # downloaded (cropped on device).
     result = out if out is not None else np.zeros((D, H, W), np.int32)
     edge_chunks = []                 # (E_i, 2) int64 rename edges (global ids)
     id_chunks, count_chunks = [], [] # per-chunk GLOBAL instance ids and counts
-    prev_overlap = None  # previous chunk's (global-id) labels for my 1st plane
+    state = {"prev_overlap": None}   # previous chunk's global-id 1st-plane copy
 
-    for ci, (z0, z1) in enumerate(chunks):
+    def process(z0, z1, core_dev, overlap_dev):
         cz = z1 - z0
-        ext, mask_top, mask_bot = _read_ext(volume, z0, z1, halo, ext_z, D)
-        labels_ext = np.asarray(chunk_fn(
-            variables, jnp.asarray(ext), lo_j, hi_j,
-            jnp.int32(mask_top), jnp.int32(mask_bot), jnp.float32(fg_thr)))
-
         offset = np.int64(z0 - halo) * plane
-        core = labels_ext[halo : halo + cz]              # int32 LOCAL ids
+        core = np.asarray(core_dev)[:cz]                 # int32 LOCAL ids
         result[z0:z1] = core                             # lifted at finalize
 
         core0_global = np.where(core[0] > 0, core[0].astype(np.int64) + offset, 0)
         # merge against previous chunk's redundant copy of our first plane
+        prev_overlap = state["prev_overlap"]
         if prev_overlap is not None:
             both = (core0_global > 0) & (prev_overlap > 0) \
                 & (core0_global != prev_overlap)
@@ -261,15 +273,30 @@ def stream_infer(
                     np.stack([core0_global[both].ravel(),
                               prev_overlap[both].ravel()], axis=-1)
                 )
-        if halo + cz < ext_z:
-            nxt = labels_ext[halo + cz]
-            prev_overlap = np.where(nxt > 0, nxt.astype(np.int64) + offset, 0)
+        if halo > 0 and z1 < D:
+            nxt = np.asarray(overlap_dev)
+            state["prev_overlap"] = np.where(
+                nxt > 0, nxt.astype(np.int64) + offset, 0)
         else:
-            prev_overlap = None
+            state["prev_overlap"] = None
 
         ids, counts = np.unique(core[core > 0], return_counts=True)
         id_chunks.append(ids.astype(np.int64) + offset)
         count_chunks.append(counts)
+
+    pending = None
+    for ci, (z0, z1) in enumerate(chunks):
+        ext, mask_top, mask_bot = _read_ext(volume, z0, z1, halo, ext_z, D)
+        core_dev, overlap_dev = chunk_fn(
+            variables, jnp.asarray(ext), lo_j, hi_j,
+            jnp.int32(mask_top), jnp.int32(mask_bot), jnp.float32(fg_thr))
+        for a in (core_dev, overlap_dev):
+            a.copy_to_host_async()
+        if pending is not None:
+            process(*pending)
+        pending = (z0, z1, core_dev, overlap_dev)
+    if pending is not None:
+        process(*pending)
 
     # ---- finalize: union roots, global size filter, dense compaction ----
     edges = (np.concatenate(edge_chunks) if edge_chunks
