@@ -48,8 +48,11 @@ def size_filter_and_compact_dense(labels: jnp.ndarray, min_size: int,
     keep = counts >= min_size
     keep = keep.at[0].set(False)                 # background never kept
     ranks = jnp.cumsum(keep.astype(jnp.int32))
-    out = jnp.where(keep[flat], ranks[flat], 0)
-    return out.reshape(labels.shape).astype(labels.dtype)
+    # fold keep+rank into ONE remap table -> a single full-volume gather
+    # (gathers run at ~0.2 s / 25 MVox on this chip; two of them were the
+    # dominant cost of this op)
+    remap = jnp.where(keep, ranks, 0).astype(labels.dtype)
+    return remap[flat].reshape(labels.shape)
 
 
 def max_seed_count(shape, radius: int) -> int:
@@ -78,5 +81,5 @@ def size_filter_and_compact(labels: jnp.ndarray, min_size: int) -> jnp.ndarray:
     keep = counts >= min_size
     keep = keep.at[0].set(False)                 # background never kept
     ranks = jnp.cumsum(keep.astype(jnp.int32))   # dense id per label value
-    out = jnp.where(keep[flat], ranks[flat], 0)
-    return out.reshape(labels.shape).astype(labels.dtype)
+    remap = jnp.where(keep, ranks, 0).astype(labels.dtype)  # one gather, not two
+    return remap[flat].reshape(labels.shape)
