@@ -34,9 +34,20 @@ def histogram_percentile_normalize(vol, pcts=(1.0, 99.8), bins: int = 4096,
     runs along the unsharded x axis, so the sharded/streamed paths sample the
     SAME voxels and stay parity-exact."""
     vol = jnp.asarray(vol, jnp.float32)
+    p_lo, p_hi = histogram_percentile_scalars(vol, pcts, bins=bins,
+                                              sample_stride=sample_stride)
+    return jnp.clip((vol - p_lo) / jnp.maximum(p_hi - p_lo, eps), 0.0, 1.0)
+
+
+def histogram_percentile_scalars(vol, pcts=(1.0, 99.8), bins: int = 4096,
+                                 sample_stride: int = 1):
+    """The (p_lo, p_hi) percentile scalars of ``histogram_percentile_normalize``
+    without applying them — the fused pipeline normalizes per tile block
+    inside the net sweep instead of taking an extra full-volume round trip."""
+    vol = jnp.asarray(vol, jnp.float32)
     lo = jnp.min(vol)
     hi = jnp.max(vol)
-    span = jnp.maximum(hi - lo, eps)
+    span = jnp.maximum(hi - lo, 1e-12)
     sample = vol[..., ::sample_stride] if sample_stride > 1 else vol
     idx = jnp.clip(((sample - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
     hist = jnp.zeros((bins,), jnp.int32).at[idx.ravel()].add(1)
@@ -49,5 +60,4 @@ def histogram_percentile_normalize(vol, pcts=(1.0, 99.8), bins: int = 4096,
         b = jnp.searchsorted(cdf, jnp.float32(p / 100.0))
         return lo + (b.astype(jnp.float32) + 0.5) / bins * span
 
-    p_lo, p_hi = pct_value(pcts[0]), pct_value(pcts[1])
-    return jnp.clip((vol - p_lo) / jnp.maximum(p_hi - p_lo, eps), 0.0, 1.0)
+    return pct_value(pcts[0]), pct_value(pcts[1])

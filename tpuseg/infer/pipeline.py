@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from tpuseg.core import Config
 from tpuseg.core.dtypes import resolve
-from tpuseg.data.normalize import histogram_percentile_normalize
+from tpuseg.data.normalize import histogram_percentile_scalars
 from tpuseg.infer.tiles import rf_radius_bound, tiled_forward
 from tpuseg.ops import watershed
 from tpuseg.ops.filter import max_seed_count, size_filter_and_compact_dense
@@ -87,9 +87,17 @@ def make_infer_fn(model, cfg: Config, normalize: bool = True):
     def infer(variables, volume):
         vol = volume.astype(jnp.float32)
         if normalize:
-            vol = histogram_percentile_normalize(
+            # scalars only; the normalization itself fuses into the tile
+            # sweep (per-block preprocess) — no extra full-volume round trip
+            p_lo, p_hi = histogram_percentile_scalars(
                 vol, cfg.data.normalize_pcts,
                 sample_stride=cfg.data.normalize_sample_stride)
+            span = jnp.maximum(p_hi - p_lo, 1e-6)
+
+            def preprocess(b):
+                return jnp.clip((b - p_lo) / span, 0.0, 1.0)
+        else:
+            preprocess = None
         out = tiled_forward(
             apply_fn,
             variables,
@@ -98,6 +106,7 @@ def make_infer_fn(model, cfg: Config, normalize: bool = True):
             halo=cfg.infer.halo,
             tile_batch=cfg.infer.tile_batch,
             compute_dtype=compute_dtype,
+            preprocess=preprocess,
         )
         fg_prob = jax.nn.sigmoid(out["fg_logits"])
         peak_prob = jax.nn.sigmoid(out["peak_logits"])

@@ -95,7 +95,8 @@ def tile_grid(shape, tile) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "tile", "halo", "tile_batch", "compute_dtype"),
+    static_argnames=("apply_fn", "tile", "halo", "tile_batch", "compute_dtype",
+                     "preprocess"),
 )
 def tiled_forward(
     apply_fn,                      # (variables, x: (B,d,h,w,1)) -> {"fg_logits","peak_logits"}
@@ -105,10 +106,16 @@ def tiled_forward(
     halo: int = 16,
     tile_batch: int = 1,
     compute_dtype=jnp.float32,
+    preprocess=None,               # optional per-block fn applied after slicing
 ) -> Dict[str, jnp.ndarray]:
     """Whole-volume fg/peak logits via a halo-overlap tile scan.
 
     Returns {"fg_logits": (D,H,W) fp32, "peak_logits": (D,H,W) fp32}.
+
+    ``preprocess`` (static): elementwise fn applied to each sliced block
+    before the net — the fused pipeline normalizes here so the raw volume
+    never takes an extra normalize round-trip through HBM. Elementwise ops
+    commute with slicing, so results equal preprocessing the whole volume.
     """
     D, H, W = volume.shape
     td, th, tw = tile
@@ -117,7 +124,9 @@ def tiled_forward(
     # pad: halo on the low side, halo + round-up on the high side (edge values
     # replicate, matching the reference's reflect/edge padding of border tiles)
     pad = ((halo, halo + Dp - D), (halo, halo + Hp - H), (halo, halo + Wp - W))
-    vol_pad = jnp.pad(volume.astype(compute_dtype), pad, mode="edge")
+    if preprocess is None:
+        volume = volume.astype(compute_dtype)
+    vol_pad = jnp.pad(volume, pad, mode="edge")
 
     origins = tile_grid((Dp, Hp, Wp), tile)
     n = origins.shape[0]
@@ -143,6 +152,8 @@ def tiled_forward(
             return lax.dynamic_slice(vol_pad, (o[0], o[1], o[2]), block)
 
         blocks = jax.vmap(get)(orig_b)[..., None]          # (tb, bd, bh, bw, 1)
+        if preprocess is not None:
+            blocks = preprocess(blocks).astype(compute_dtype)
         out = apply_fn(variables, blocks)
         fg = out["fg_logits"][:, halo : halo + td, halo : halo + th, halo : halo + tw]
         pk = out["peak_logits"][:, halo : halo + td, halo : halo + th, halo : halo + tw]
