@@ -125,6 +125,32 @@ def test_cli_infer_shard_modes(fixture_dir, capsys):
         assert got.shape == (32, 48, 48) and got.max() > 0
 
 
+@pytest.mark.slow
+def test_cli_export_roundtrip(fixture_dir, capsys):
+    """Orbax ckpt -> .pth export -> infer from the .pth gives the same labels
+    as inferring from the Orbax dir (checkpoint interchange both ways)."""
+    from tpuseg.data.volume_io import load_volume
+    from tpuseg.cli import export, infer
+
+    d = fixture_dir
+    _ensure_ckpt(d)
+    export.main([
+        "--checkpoint", str(d / "ckpt"), "--output", str(d / "exported.pth"),
+        *_common_overrides(d),
+    ])
+    assert "tensors" in capsys.readouterr().out
+    for src, name in [(d / "ckpt", "pred_orbax.tiff"),
+                      (d / "exported.pth", "pred_pth.tiff")]:
+        infer.main([
+            "--checkpoint", str(src),
+            "--input", str(d / "stack.tiff"), "--output", str(d / name),
+            *_common_overrides(d),
+        ])
+    a = load_volume(str(d / "pred_orbax.tiff"))
+    b = load_volume(str(d / "pred_pth.tiff"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_cli_bad_override_errors(fixture_dir):
     from tpuseg.cli import train
 

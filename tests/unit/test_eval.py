@@ -69,3 +69,21 @@ def test_empty_cases():
     assert m["f1"] == 0.0 and m["fn"] == 1 and m["n_pred"] == 0
     m2 = instance_metrics(gt, empty)
     assert m2["f1"] == 0.0 and m2["fp"] == 1
+
+
+def test_voxel_metrics():
+    import numpy as np
+
+    from tpuseg.eval import voxel_metrics
+
+    gt = np.zeros((4, 8, 8), np.int32)
+    gt[1, 2:6, 2:6] = 1
+    pred = np.zeros_like(gt)
+    pred[1, 2:6, 2:4] = 3          # half the gt foreground
+    m = voxel_metrics(pred, gt)
+    assert abs(m["voxel_dice"] - 2 * 8 / (8 + 16)) < 1e-9
+    assert abs(m["voxel_iou"] - 8 / 16) < 1e-9
+    assert m["voxel_accuracy"] == 1.0 - 8 / gt.size
+
+    perfect = voxel_metrics(gt, gt)
+    assert perfect["voxel_dice"] == 1.0 and perfect["voxel_iou"] == 1.0

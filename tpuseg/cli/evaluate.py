@@ -16,14 +16,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from tpuseg.data.volume_io import load_volume
-    from tpuseg.eval import instance_metrics
+    from tpuseg.eval import instance_metrics, voxel_metrics
 
-    m = instance_metrics(
-        load_volume(args.pred),
-        load_volume(args.gt),
-        iou_threshold=args.iou_threshold,
-        criterion=args.criterion,
-    )
+    pred = load_volume(args.pred)
+    gt = load_volume(args.gt)
+    m = instance_metrics(pred, gt, iou_threshold=args.iou_threshold,
+                         criterion=args.criterion)
+    m.update(voxel_metrics(pred, gt))
     print(json.dumps(m, indent=2))
 
 

@@ -1,3 +1,3 @@
-from tpuseg.eval.instance_f1 import instance_metrics
+from tpuseg.eval.instance_f1 import instance_metrics, voxel_metrics
 
-__all__ = ["instance_metrics"]
+__all__ = ["instance_metrics", "voxel_metrics"]

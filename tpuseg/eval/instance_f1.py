@@ -31,6 +31,22 @@ def _contingency(pred: np.ndarray, gt: np.ndarray):
     return pred_ids, gt_ids, table
 
 
+def voxel_metrics(pred: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
+    """Voxel-level foreground agreement between two labelings: Dice / IoU of
+    the binarized masks plus the voxel accuracy — the segmentation-quality
+    complement to the instance-level F1 (papers in this family report both)."""
+    p = np.asarray(pred) > 0
+    g = np.asarray(gt) > 0
+    inter = float(np.logical_and(p, g).sum())
+    ps, gs = float(p.sum()), float(g.sum())
+    union = ps + gs - inter
+    return {
+        "voxel_dice": 2 * inter / (ps + gs) if ps + gs else 1.0,
+        "voxel_iou": inter / union if union else 1.0,
+        "voxel_accuracy": float((p == g).mean()),
+    }
+
+
 def instance_metrics(
     pred: np.ndarray,
     gt: np.ndarray,
