@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import argparse
 import json
-from typing import List, Tuple
-
 from tpuseg.core import Config
 
 

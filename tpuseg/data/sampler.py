@@ -12,7 +12,7 @@ The sampler is numpy-only; the jit boundary is downstream
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -15,7 +15,6 @@ reference reads (plain multi-page microscopy stacks). Anything exotic
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -14,9 +14,6 @@ measured over exactly this function (bench.py).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

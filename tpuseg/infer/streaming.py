@@ -38,7 +38,6 @@ pipeline exactly when instance extents fit within the halo
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

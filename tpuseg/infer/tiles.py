@@ -28,7 +28,6 @@ table.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Dict, Tuple
 

@@ -15,7 +15,7 @@ statistics that make sliding-window inference voxel-exact; see models.blocks).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ deterministic (SURVEY.md §7 "hard parts" #1 — deterministic tie-break).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

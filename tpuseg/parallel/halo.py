@@ -13,7 +13,6 @@ Used inside ``shard_map`` bodies — operands are the per-shard local blocks.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -12,7 +12,6 @@ the same code runs on 8 virtual devices (tests/distributed/).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
@@ -21,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from tpuseg.core import Config
-from tpuseg.train.step import TrainState, make_train_step
+from tpuseg.train.step import make_train_step
 
 
 def make_data_mesh(axis: str = "data", devices=None) -> Mesh:
