@@ -83,3 +83,37 @@ def test_stream_into_preallocated_out(cfg, volume):
                        halo=8, normalize=False)
     assert got is out
     assert out.max() >= 6
+
+
+def test_stream_calibrated_threshold_equals_single(cfg, volume):
+    """fg_target_fraction calibration in stream mode (the extra net pass,
+    ADVICE r1 medium): streamed labels equal the fused pipeline's exactly."""
+    import dataclasses
+
+    ccfg = dataclasses.replace(
+        cfg, postproc=dataclasses.replace(cfg.postproc, fg_target_fraction=0.05)
+    )
+    model = AnalyticNet()
+    variables = {"params": {}}
+    v = np.asarray(percentile_normalize(volume.image))
+
+    want = np.asarray(make_infer_fn(model, ccfg, normalize=False)(
+        variables, jnp.asarray(v)))
+    got = stream_infer(model, ccfg, variables, v, chunk_z=16, halo=8,
+                       normalize=False)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_preserves_integer_source_dtype(cfg, volume):
+    """uint16 microscopy sources stream without a host float conversion and
+    produce the same labels as a float32 source of the same values."""
+    model = AnalyticNet()
+    variables = {"params": {}}
+    v = np.asarray(percentile_normalize(volume.image))
+    v16 = (v * 65535).astype(np.uint16)
+
+    a = stream_infer(model, cfg, variables, v16.astype(np.float32),
+                     chunk_z=16, halo=8, normalize=True)
+    b = stream_infer(model, cfg, variables, v16, chunk_z=16, halo=8,
+                     normalize=True)
+    np.testing.assert_array_equal(a, b)
