@@ -179,12 +179,16 @@ def main():
     from tpuseg.models import build_model, init_variables
 
     fast = os.environ.get("TPUSEG_BENCH_FAST", "") == "1"
-    cpu = get_cpu_baseline(CPU_BASELINE_PATH)
 
     cfg = make_cfg()
     model = build_model(cfg.model)
     variables0 = init_variables(model, jax.random.key(0),
                                 patch_shape=cfg.data.patch_size)
+    # the CPU denominator runs the SAME (jax-seeded) weights through the
+    # torch mirror, so both sides see the same maps and the same post-proc
+    # load — an unseeded torch init made the denominator irreproducible
+    # (one draw produced 0 instances and a trivially fast scipy stage)
+    cpu = get_cpu_baseline(CPU_BASELINE_PATH, variables=variables0)
     vol = synthesize_volume(shape=VOLUME_SHAPE, num_instances=600,
                             radius_range=(5.0, 10.0), seed=0)
     v = jnp.asarray(vol.image)
