@@ -174,9 +174,29 @@ def stream_infer(
     halo: Optional[int] = None,
     normalize: bool = True,
     bins: int = 4096,
+    stats: Optional[dict] = None,
 ) -> np.ndarray:
     """Stream ``volume`` through the device in z-chunks; returns (or fills
-    ``out`` with) the dense int32 instance labeling."""
+    ``out`` with) the dense int32 instance labeling.
+
+    ``stats``: optional dict filled with accumulated stage seconds
+    (t_normalize_pass, t_calibrate_pass, t_chunks, t_finalize) — on tunneled
+    or NFS-backed hosts the bottleneck is usually I/O, and this shows it.
+    """
+    import time as _time
+
+    t_stage = _time.perf_counter
+    _marks = {}
+
+    def _mark(key):
+        now = t_stage()
+        if _marks:
+            k0, t0 = _marks.popitem()
+            if stats is not None:
+                stats[k0] = round(stats.get(k0, 0.0) + (now - t0), 3)
+        _marks[key] = now
+
+    _mark("t_normalize_pass")
     D, H, W = volume.shape
     halo = cfg.infer.shard_halo if halo is None else halo
     chunks = [(z, min(z + chunk_z, D)) for z in range(0, D, chunk_z)]
@@ -217,6 +237,7 @@ def stream_infer(
     lo_j, hi_j = jnp.float32(lo), jnp.float32(hi)
 
     fg_hist_fn, chunk_fn = _make_chunk_fns(model, cfg, halo, chunk_z, bins)
+    _mark("t_calibrate_pass")
 
     # ---- pass 1b: volume-matched fg-threshold calibration (extra net pass) ----
     if cfg.postproc.fg_target_fraction > 0:
@@ -244,6 +265,7 @@ def stream_infer(
     else:
         fg_thr = cfg.postproc.fg_threshold
 
+    _mark("t_chunks")
     # ---- pass 2: chunked net + watershed, host reconciliation ----
     # Pipelined: while the host ingests chunk N's (async-copied) results,
     # chunk N+1's upload + compute are already in flight — the ~27 MB/s
@@ -297,6 +319,7 @@ def stream_infer(
     if pending is not None:
         process(*pending)
 
+    _mark("t_finalize")
     # ---- finalize: union roots, global size filter, dense compaction ----
     edges = (np.concatenate(edge_chunks) if edge_chunks
              else np.zeros((0, 2), np.int64))
@@ -341,4 +364,5 @@ def stream_infer(
             result[z0:z1] = out_chunk
         else:
             result[z0:z1] = 0
+    _mark("end")
     return result
