@@ -30,7 +30,8 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         from tpuseg.ops.calibrate import threshold_for_fraction
 
         fg_threshold = threshold_for_fraction(
-            fg_prob, cfg.postproc.fg_target_fraction
+            fg_prob, cfg.postproc.fg_target_fraction,
+            sample_stride=cfg.data.normalize_sample_stride,
         )
     else:
         fg_threshold = cfg.postproc.fg_threshold

@@ -190,6 +190,11 @@ def make_sharded_infer_fn(
             for d in sharded_dims:
                 fg_core = lax.slice_in_dim(fg_core, halo_s,
                                            halo_s + core_sizes[d], axis=d)
+            # same x-stride sample as ops.calibrate (x is unsharded, so the
+            # global sample set matches the single-device one exactly)
+            stride = cfg.data.normalize_sample_stride
+            if stride > 1:
+                fg_core = fg_core[..., ::stride]
             hidx = jnp.clip((fg_core * bins).astype(jnp.int32), 0, bins - 1)
             hist = jnp.zeros((bins,), jnp.int32).at[hidx.ravel()].add(1)
             n_global = fg_core.size * lax.psum(1, axes)

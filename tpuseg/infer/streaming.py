@@ -108,6 +108,9 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
         voxels the fused path's calibration sees; cores partition the volume)."""
         fg, _ = forward(variables, ext, lo, hi, mask_top, mask_bot)
         core = fg[halo : halo + chunk_z]
+        stride = cfg.data.normalize_sample_stride
+        if stride > 1:  # same x-stride sample as ops.calibrate / sharded
+            core = core[..., ::stride]
         idx = jnp.clip((core * calib_bins).astype(jnp.int32), 0, calib_bins - 1)
         hist = jnp.zeros((calib_bins,), jnp.int32).at[idx.ravel()].add(1)
         # fake planes inside the core window (short last chunk) land in bin 0
@@ -241,6 +244,8 @@ def stream_infer(
 
     # ---- pass 1b: volume-matched fg-threshold calibration (extra net pass) ----
     if cfg.postproc.fg_target_fraction > 0:
+        stride = cfg.data.normalize_sample_stride
+        sample_plane = H * len(range(0, W, max(stride, 1)))
         fg_hist = np.zeros(bins, np.int64)
         n_core = 0
         for z0, z1 in chunks:
@@ -250,12 +255,12 @@ def stream_infer(
                 jnp.int32(mask_top), jnp.int32(mask_bot))).astype(np.int64)
             # short last chunk: fake planes inside the core window counted
             # prob-0.0 into bin 0 — remove them so the histogram covers
-            # exactly the D*H*W real voxels
-            fake_core = max(0, (z0 + chunk_z) - D) * plane
+            # exactly the real (sampled) voxels
+            fake_core = max(0, (z0 + chunk_z) - D) * sample_plane
             h[0] -= fake_core
             fg_hist += h
-            n_core += chunk_z * plane - fake_core
-        assert n_core == D * plane
+            n_core += chunk_z * sample_plane - fake_core
+        assert n_core == D * sample_plane
         # same fraction arithmetic as ops.calibrate.threshold_for_fraction
         # (fp32, so the same bin is selected)
         tail = (np.cumsum(fg_hist[::-1])[::-1].astype(np.float32)

@@ -20,10 +20,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def threshold_for_fraction(prob: jnp.ndarray, fraction, bins: int = 4096):
+def threshold_for_fraction(prob: jnp.ndarray, fraction, bins: int = 4096,
+                           sample_stride: int = 1):
     """Threshold t such that mean(prob >= t) ~= fraction (the (1-fraction)
-    quantile), from a histogram — O(N) scatter + O(bins) scan."""
+    quantile), from a histogram — O(N) scatter + O(bins) scan.
+
+    ``sample_stride``: histogram every k-th x-voxel (the scatter is the
+    dominant cost; quantiles of a strided sample are statistically
+    indistinguishable at 1/bins resolution). The stride runs along the
+    unsharded x axis so the sharded/streamed calibrations sample the SAME
+    voxel set (exact cross-path parity, like data.normalize)."""
     prob = prob.astype(jnp.float32)
+    if sample_stride > 1:
+        prob = prob[..., ::sample_stride]
     idx = jnp.clip((prob * bins).astype(jnp.int32), 0, bins - 1)
     # int32 per-device histogram is exact for volumes < 2^31 voxels (any
     # larger would not fit HBM); the comparison uses fp32 FRACTIONS, the same
