@@ -143,7 +143,6 @@ def chase_resolve(values, dirs, fg_mask, iters_per_pass: int = 8,
     the root's (signed, nonzero) value, so "no zeros left" is the sound
     fixed-point test (change-based tests can stall in passes where no chain
     happens to terminate)."""
-    fg_flat = fg_mask
 
     def cond(s):
         i, v, unresolved = s
@@ -153,10 +152,10 @@ def chase_resolve(values, dirs, fg_mask, iters_per_pass: int = 8,
         i, v, _ = s
         vn = chase_pass(v, dirs, iters=iters_per_pass, block=block,
                         interpret=interpret)
-        return i + 1, vn, jnp.any(fg_flat & (vn == 0))
+        return i + 1, vn, jnp.any(fg_mask & (vn == 0))
 
     _, v, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), values, jnp.any(fg_flat & (values == 0))))
+        cond, body, (jnp.int32(0), values, jnp.any(fg_mask & (values == 0))))
     return v
 
 
