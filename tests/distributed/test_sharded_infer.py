@@ -174,6 +174,44 @@ def test_sharded_2d_zy_equals_single_device(cfg, mesh_shape):
     assert crossing_y >= 2, f"only {crossing_y} y-boundary-crossing instances"
 
 
+def test_sharded_2d_corner_crossing_instance(cfg):
+    """An instance centered exactly on a (z, y) shard CORNER spans four
+    shards at once; the single gathered union-find closure must merge its
+    names transitively (z-edges + y-edges, no direct diagonal exchange)."""
+    import dataclasses
+
+    shape = (32, 32, 32)
+    mesh = make_zy_mesh((2, 4))           # corner at z=16, y-boundaries at 8k
+    zz, yy, xx = np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape],
+                             indexing="ij")
+    img = np.zeros(shape, np.float32)
+    for c in [(16.0, 16.0, 16.0),         # dead on the z=16/y=16 corner
+              (16.0, 8.0, 24.0),          # on a y boundary only
+              (8.0, 24.0, 8.0)]:          # interior
+        d2 = (zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+        img = np.maximum(img, np.exp(-0.5 * d2 / 9.0).astype(np.float32))
+
+    # halo 8 >= blob radius (~4.3 at the fg threshold): within the exactness
+    # contract, so the corner instance must come out elementwise identical
+    ccfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, shard_halo=8))
+    model = AnalyticNet()
+    variables = {"params": {}}
+
+    want = np.asarray(make_infer_fn(model, ccfg, normalize=False)(
+        variables, jnp.asarray(img)))
+    got = np.asarray(make_sharded_infer_fn(model, ccfg, mesh, normalize=False)(
+        variables, shard_volume(jnp.asarray(img), mesh)))
+    np.testing.assert_array_equal(got, want)
+
+    # the corner blob must actually occupy all four quadrants with ONE label
+    corner_label = got[16, 16, 16]
+    assert corner_label > 0
+    quads = {(z // 16, y // 16)
+             for z, y, x in np.argwhere(got == corner_label)}
+    assert quads == {(0, 0), (0, 1), (1, 0), (1, 1)}, quads
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 4)])
 def test_sharded_2d_normalize_and_calibration(cfg, mesh_shape):
     """2-D mesh with histogram normalization + calibrated fg threshold still
