@@ -28,3 +28,36 @@ def test_infer_fn_runs_and_labels_are_compact():
     pos = ids[ids > 0]
     if len(pos):  # compact 1..K
         assert pos.min() == 1 and pos.max() == len(pos)
+
+
+def test_batched_infer_matches_individual():
+    """make_batched_infer_fn == stacking make_infer_fn results, each volume
+    normalized/calibrated independently (NORTH-STAR config 3 batching)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpuseg.core import Config, InferConfig, ModelConfig, PostprocConfig
+    from tpuseg.data import synthesize_volume
+    from tpuseg.infer import make_batched_infer_fn, make_infer_fn
+    from tpuseg.models import build_model, init_variables
+
+    cfg = Config(
+        model=ModelConfig(features=(4, 8), num_groups=2, head_features=4,
+                          compute_dtype="float32"),
+        infer=InferConfig(tile=(16, 16, 16), halo=8, compute_dtype="float32"),
+        postproc=PostprocConfig(min_size=5, flood_iters=12),
+    )
+    model = build_model(cfg.model)
+    variables = init_variables(model, __import__("jax").random.key(0),
+                               patch_shape=(16, 16, 16))
+    vols = np.stack([
+        synthesize_volume(shape=(24, 32, 32), num_instances=4,
+                          seed=s).image * (1.0 + s)   # distinct scales
+        for s in range(3)
+    ])
+    single = make_infer_fn(model, cfg)
+    want = np.stack([np.asarray(single(variables, jnp.asarray(v)))
+                     for v in vols])
+    got = np.asarray(make_batched_infer_fn(model, cfg)(
+        variables, jnp.asarray(vols)))
+    np.testing.assert_array_equal(got, want)

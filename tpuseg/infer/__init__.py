@@ -1,5 +1,5 @@
 from tpuseg.infer.tiles import tiled_forward
-from tpuseg.infer.pipeline import infer_volume, make_infer_fn
+from tpuseg.infer.pipeline import infer_volume, make_batched_infer_fn, make_infer_fn
 from tpuseg.infer.sharded import (
     make_sharded_infer_fn, make_z_mesh, make_zy_mesh, shard_volume,
 )
@@ -8,6 +8,7 @@ from tpuseg.infer.streaming import stream_infer
 __all__ = [
     "tiled_forward",
     "infer_volume",
+    "make_batched_infer_fn",
     "make_infer_fn",
     "make_sharded_infer_fn",
     "make_z_mesh",

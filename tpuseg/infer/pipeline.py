@@ -56,16 +56,7 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         max_seed_count(fg_prob.shape, cfg.postproc.nms_radius))
 
 
-def make_infer_fn(model, cfg: Config, normalize: bool = True):
-    """Returns jitted ``infer(variables, volume) -> int32 labels``.
-
-    Voxel-exactness note: tiled inference reproduces the whole-volume forward
-    exactly only when ``cfg.infer.halo`` >= the net's receptive-field radius
-    (tiles.rf_radius_bound; ~53 for the default 4-level model). The default
-    halo of 16 deliberately trades the tail of the receptive field — whose
-    trained-net influence decays to numerical noise well inside the analytic
-    bound — for ~2x less overcompute; a warning is emitted so the trade is
-    visible (ADVICE r1)."""
+def _make_infer_body(model, cfg: Config, normalize: bool):
     compute_dtype = resolve(cfg.infer.compute_dtype)
 
     rf = rf_radius_bound(len(cfg.model.features))
@@ -76,13 +67,12 @@ def make_infer_fn(model, cfg: Config, normalize: bool = True):
             f"InferConfig.halo={cfg.infer.halo} is below the {len(cfg.model.features)}"
             f"-level model's receptive-field radius (~{rf}): tiled inference is "
             f"border-approximate, not voxel-exact. Set infer.halo>={rf} for "
-            "exactness (slower).", stacklevel=2)
+            "exactness (slower).", stacklevel=3)
 
     def apply_fn(variables, x):
         return model.apply(variables, x)
 
-    @jax.jit
-    def infer(variables, volume):
+    def infer_one(variables, volume):
         vol = volume.astype(jnp.float32)
         if normalize:
             # scalars only; the normalization itself fuses into the tile
@@ -110,7 +100,37 @@ def make_infer_fn(model, cfg: Config, normalize: bool = True):
         peak_prob = jax.nn.sigmoid(out["peak_logits"])
         return _postprocess(fg_prob, peak_prob, cfg)
 
-    return infer
+    return infer_one
+
+
+def make_infer_fn(model, cfg: Config, normalize: bool = True):
+    """Returns jitted ``infer(variables, volume) -> int32 labels``.
+
+    Voxel-exactness note: tiled inference reproduces the whole-volume forward
+    exactly only when ``cfg.infer.halo`` >= the net's receptive-field radius
+    (tiles.rf_radius_bound; ~53 for the default 4-level model). The default
+    halo deliberately trades the tail of the receptive field — whose
+    trained-net influence decays to numerical noise well inside the analytic
+    bound — for much less overcompute; a warning is emitted so the trade is
+    visible (ADVICE r1)."""
+    return jax.jit(_make_infer_body(model, cfg, normalize))
+
+
+def make_batched_infer_fn(model, cfg: Config, normalize: bool = True):
+    """Batched multi-volume variant (NORTH-STAR config 3: "batched
+    multi-volume inference ... no host round-trip"): jitted
+    ``infer(variables, volumes) -> labels`` over a stacked (N, D, H, W)
+    batch. Volumes run through ONE compiled program via ``lax.map`` — each
+    is normalized with its own percentiles and labeled independently, with
+    zero host synchronization between volumes (results stay device-resident
+    until the caller fetches them)."""
+    body = _make_infer_body(model, cfg, normalize)
+
+    @jax.jit
+    def infer_batch(variables, volumes):
+        return jax.lax.map(lambda v: body(variables, v), volumes)
+
+    return infer_batch
 
 
 def infer_volume(model, variables, volume, cfg: Config, normalize: bool = True):
