@@ -61,3 +61,45 @@ def test_batched_infer_matches_individual():
     got = np.asarray(make_batched_infer_fn(model, cfg)(
         variables, jnp.asarray(vols)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_rf_warning_gates_on_supplied_model():
+    """ADVICE r2: the halo<RF warning derives the receptive field from the
+    model actually passed, so RF-free stand-ins don't trip it."""
+    import warnings
+
+    from flax import linen as nn
+
+    class PointwiseNet(nn.Module):  # no .config -> no RF claim
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            v = x[..., 0].astype("float32")
+            return {"fg_logits": v, "peak_logits": v}
+
+    cfg = Config(infer=InferConfig(tile=(16, 16, 16), halo=2,
+                                   compute_dtype="float32"))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        make_infer_fn(PointwiseNet(), cfg)
+    assert not [w for w in rec if "receptive-field" in str(w.message)]
+
+    # the real U-Net (4 levels, RF~53) with halo=2 must still warn
+    mcfg = ModelConfig(features=(4, 8, 16, 32), num_groups=2, head_features=4,
+                       compute_dtype="float32")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        make_infer_fn(build_model(mcfg), cfg.override(**{}))
+    assert [w for w in rec if "receptive-field" in str(w.message)]
+
+
+def test_forced_pallas_on_unsupported_shape_raises():
+    """ADVICE r2: resolve_impl='pallas' on a non-block-divisible shape must
+    refuse loudly instead of leaving remainder blocks unwritten."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tpuseg.ops import watershed
+
+    fg = jnp.zeros((7, 13, 64), jnp.float32)
+    with pytest.raises(ValueError, match="pallas"):
+        watershed(fg, fg, resolve_impl="pallas")

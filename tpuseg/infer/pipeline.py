@@ -59,15 +59,21 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
 def _make_infer_body(model, cfg: Config, normalize: bool):
     compute_dtype = resolve(cfg.infer.compute_dtype)
 
-    rf = rf_radius_bound(len(cfg.model.features))
-    if cfg.infer.halo < rf:
-        import warnings
+    # derive the receptive field from the model actually supplied, not from
+    # cfg.model — test stand-ins (RF-0 AnalyticNet etc.) carry no .config and
+    # must not trip a spurious warning (ADVICE r2)
+    model_cfg = getattr(model, "config", None)
+    features = getattr(model_cfg, "features", None)
+    if features is not None:
+        rf = rf_radius_bound(len(features))
+        if cfg.infer.halo < rf:
+            import warnings
 
-        warnings.warn(
-            f"InferConfig.halo={cfg.infer.halo} is below the {len(cfg.model.features)}"
-            f"-level model's receptive-field radius (~{rf}): tiled inference is "
-            f"border-approximate, not voxel-exact. Set infer.halo>={rf} for "
-            "exactness (slower).", stacklevel=3)
+            warnings.warn(
+                f"InferConfig.halo={cfg.infer.halo} is below the {len(features)}"
+                f"-level model's receptive-field radius (~{rf}): tiled inference is "
+                f"border-approximate, not voxel-exact. Set infer.halo>={rf} for "
+                "exactness (slower).", stacklevel=3)
 
     def apply_fn(variables, x):
         return model.apply(variables, x)

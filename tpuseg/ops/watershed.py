@@ -174,6 +174,15 @@ def _use_pallas(resolve_impl: str, shape) -> bool:
     from tpuseg.ops.pallas_resolve import pallas_resolve_supported
 
     if resolve_impl == "pallas":
+        # chase_pass/flood_pass grids floor-divide the shape — forcing pallas
+        # on a non-block-divisible volume would leave remainder blocks
+        # unwritten (silent garbage), so refuse loudly instead (ADVICE r2)
+        if not pallas_resolve_supported(shape):
+            raise ValueError(
+                f"resolve_impl='pallas' requires block-divisible (D,H) and "
+                f"W a multiple of 128; got shape {tuple(shape)}. Use "
+                f"resolve_impl='auto' to fall back to XLA on such shapes."
+            )
         return True
     if resolve_impl == "auto":
         return (jax.default_backend() == "tpu"
