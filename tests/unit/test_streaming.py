@@ -117,3 +117,82 @@ def test_stream_preserves_integer_source_dtype(cfg, volume):
     b = stream_infer(model, cfg, variables, v16, chunk_z=16, halo=8,
                      normalize=True)
     np.testing.assert_array_equal(a, b)
+
+
+class _Boom(Exception):
+    pass
+
+
+def test_stream_kill_and_resume_exact(cfg, volume, tmp_path):
+    """VERDICT r2 #8 / SURVEY §5 failure recovery: a killed stream restarted
+    with the same resume_dir + persistent out buffer must resume from the
+    first incomplete chunk and produce the identical labeling."""
+    model = AnalyticNet()
+    variables = {"params": {}}
+    v = np.asarray(percentile_normalize(volume.image))
+    want = stream_infer(model, cfg, variables, v, chunk_z=16, halo=8,
+                        normalize=False)
+
+    rdir = str(tmp_path / "resume")
+    out = np.zeros(v.shape, np.int32)  # stands in for an np.memmap
+
+    def killer(ci):
+        if ci >= 1:
+            raise _Boom()
+
+    with pytest.raises(_Boom):
+        stream_infer(model, cfg, variables, v, out=out, chunk_z=16, halo=8,
+                     normalize=False, resume_dir=rdir, on_chunk_done=killer)
+
+    calls = []
+    got = stream_infer(model, cfg, variables, v, out=out, chunk_z=16, halo=8,
+                       normalize=False, resume_dir=rdir,
+                       on_chunk_done=calls.append)
+    assert calls and calls[0] == 2, calls  # resumed, not restarted
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_resume_reuses_calibration_scalars(cfg, volume, tmp_path):
+    """Resume must skip passes 1/1b by reloading the persisted normalization
+    + fg-calibration scalars — and still match the uninterrupted run."""
+    import dataclasses
+
+    ccfg = dataclasses.replace(
+        cfg, postproc=dataclasses.replace(cfg.postproc, fg_target_fraction=0.05))
+    model = AnalyticNet()
+    variables = {"params": {}}
+    raw = volume.image * 900.0 + 100.0
+    want = stream_infer(model, ccfg, variables, raw, chunk_z=16, halo=8,
+                        normalize=True)
+
+    rdir = str(tmp_path / "resume")
+    out = np.zeros(raw.shape, np.int32)
+
+    def killer(ci):
+        raise _Boom()
+
+    with pytest.raises(_Boom):
+        stream_infer(model, ccfg, variables, raw, out=out, chunk_z=16, halo=8,
+                     normalize=True, resume_dir=rdir, on_chunk_done=killer)
+
+    got = stream_infer(model, ccfg, variables, raw, out=out, chunk_z=16,
+                       halo=8, normalize=True, resume_dir=rdir)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_resume_geometry_mismatch_restarts(cfg, volume, tmp_path):
+    """A resume_dir written under different chunking must be invalidated, not
+    silently mixed in."""
+    model = AnalyticNet()
+    variables = {"params": {}}
+    v = np.asarray(percentile_normalize(volume.image))
+    rdir = str(tmp_path / "resume")
+
+    first = stream_infer(model, cfg, variables, v, chunk_z=16, halo=8,
+                         normalize=False, resume_dir=rdir)
+    calls = []
+    second = stream_infer(model, cfg, variables, v, chunk_z=24, halo=8,
+                          normalize=False, resume_dir=rdir,
+                          on_chunk_done=calls.append)
+    assert calls[0] == 0  # restarted from chunk 0 under the new geometry
+    np.testing.assert_array_equal(first, second)

@@ -1,7 +1,13 @@
 from tpuseg.infer.tiles import tiled_forward
 from tpuseg.infer.pipeline import infer_volume, make_batched_infer_fn, make_infer_fn
 from tpuseg.infer.sharded import (
-    make_sharded_infer_fn, make_z_mesh, make_zy_mesh, shard_volume,
+    arrange_multislice_devices,
+    make_multislice_zy_mesh,
+    make_sharded_infer_fn,
+    make_z_mesh,
+    make_zy_mesh,
+    multislice_mesh_shapes,
+    shard_volume,
 )
 from tpuseg.infer.streaming import stream_infer
 
@@ -10,9 +16,12 @@ __all__ = [
     "infer_volume",
     "make_batched_infer_fn",
     "make_infer_fn",
+    "arrange_multislice_devices",
+    "make_multislice_zy_mesh",
     "make_sharded_infer_fn",
     "make_z_mesh",
     "make_zy_mesh",
+    "multislice_mesh_shapes",
     "shard_volume",
     "stream_infer",
 ]

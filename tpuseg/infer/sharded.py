@@ -43,7 +43,13 @@ from tpuseg.core.dtypes import resolve
 from tpuseg.infer.tiles import tiled_forward
 from tpuseg.ops import watershed
 from tpuseg.parallel.halo import exchange_halo
-from tpuseg.parallel.reconcile import global_compact_labels, merge_boundary_labels
+from tpuseg.parallel.reconcile import (
+    boundary_edges,
+    build_local_table,
+    packed_compact_labels,
+    rename_to_packed,
+    _SENTINEL,
+)
 
 
 def make_z_mesh(axis: str = "z", devices=None) -> Mesh:
@@ -60,25 +66,83 @@ def make_zy_mesh(shape: Tuple[int, int], axes=("z", "y"), devices=None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(shape), axes)
 
 
+def multislice_mesh_shapes(dcn_slices: int, ici_per_slice: int):
+    """(mesh_shape, dcn_mesh_shape) arguments for
+    ``mesh_utils.create_hybrid_device_mesh`` mapping the volume's z axis to
+    DCN (inter-slice) and y to ICI (intra-slice). Factored out so the DCN/ICI
+    axis assignment is unit-testable without a real multislice deployment
+    (VERDICT r2 #5): a transposed assignment here would put the chatty y
+    halos and reconciliation gathers on the thin DCN pipe.
+
+    Elementwise product = global mesh shape (dcn_slices, ici_per_slice);
+    per-slice (ICI) extents in mesh_shape, inter-slice counts in
+    dcn_mesh_shape.
+    """
+    return (1, ici_per_slice), (dcn_slices, 1)
+
+
+def arrange_multislice_devices(devices, dcn_slices: int, ici_per_slice: int,
+                               slice_index_fn=None) -> np.ndarray:
+    """Lay ``devices`` out as a (dcn_slices, ici_per_slice) object array with
+    ROWS = slices: mesh axis 0 (volume z) then steps across slices over DCN
+    — one contiguous-plane ppermute per neighbor pair per volume, the
+    lowest-frequency collective in the pipeline — while axis 1 (volume y)
+    stays inside a slice on ICI, carrying the chattier y halos and the
+    all_gather'd reconciliation tables.
+
+    ``slice_index_fn`` extracts a device's slice id (default: its
+    ``slice_index`` attribute; 0 when absent, e.g. CPU test devices — pass an
+    explicit fn to emulate a multislice topology on fake devices).
+    """
+    key = slice_index_fn or (lambda d: getattr(d, "slice_index", 0))
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(key(d), []).append(d)
+    if len(groups) != dcn_slices:
+        raise ValueError(
+            f"devices span {len(groups)} slices, expected {dcn_slices}")
+    rows = []
+    for s in sorted(groups):
+        g = sorted(groups[s], key=lambda d: d.id)
+        if len(g) != ici_per_slice:
+            raise ValueError(
+                f"slice {s} has {len(g)} devices, expected {ici_per_slice}")
+        rows.append(g)
+    arr = np.empty((dcn_slices, ici_per_slice), dtype=object)
+    for i, row in enumerate(rows):
+        for j, d in enumerate(row):
+            arr[i, j] = d
+    return arr
+
+
 def make_multislice_zy_mesh(dcn_slices: int, ici_per_slice: int,
-                            axes=("z", "y")) -> Mesh:
+                            axes=("z", "y"), devices=None,
+                            slice_index_fn=None) -> Mesh:
     """(z, y) mesh spanning multiple TPU slices over DCN (SURVEY.md §7
     phase 5 "multislice DCN support").
 
     The z axis maps to the DCN (inter-slice) dimension and y to ICI within a
-    slice: the z halo exchange is ONE ppermute of contiguous planes per
-    neighbor pair per volume — the lowest-frequency, most-contiguous
-    collective in the pipeline, exactly what the thin DCN pipe should carry —
-    while the chattier y halos and the all_gather'd reconciliation tables ride
-    ICI. Uses ``mesh_utils.create_hybrid_device_mesh`` so device order
-    respects the physical topology; requires a real multislice deployment
-    (single-slice environments should use make_z_mesh / make_zy_mesh).
+    slice (see :func:`multislice_mesh_shapes` for why). On a real multislice
+    deployment (devices expose ``slice_index`` and no override is given) the
+    layout comes from ``mesh_utils.create_hybrid_device_mesh`` so device
+    order respects the physical ICI topology; otherwise — explicit
+    ``devices``/``slice_index_fn``, e.g. a virtual 2-slice topology on CPU
+    test devices — :func:`arrange_multislice_devices` builds the same
+    rows-are-slices layout directly.
     """
+    if devices is not None or slice_index_fn is not None:
+        devs = arrange_multislice_devices(
+            devices if devices is not None else jax.devices(),
+            dcn_slices, ici_per_slice, slice_index_fn=slice_index_fn)
+        return Mesh(devs, axes)
+
     from jax.experimental import mesh_utils
 
+    mesh_shape, dcn_mesh_shape = multislice_mesh_shapes(
+        dcn_slices, ici_per_slice)
     devs = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(1, ici_per_slice),
-        dcn_mesh_shape=(dcn_slices, 1),
+        mesh_shape=mesh_shape,
+        dcn_mesh_shape=dcn_mesh_shape,
     )
     return Mesh(devs, axes)
 
@@ -124,9 +188,17 @@ def make_sharded_infer_fn(
     mesh axis order maps to volume dims (0, 1)). ``axis`` is accepted for
     backward compatibility; the mesh's own axis names are authoritative.
 
-    Label ids are global linear voxel indices in int32: total volume size
-    must stay below 2^31 voxels on this path (the host-streamed path,
-    infer/streaming.py, covers larger volumes with int64 ids on the host).
+    Label-id scheme (VERDICT r2 #1a — no 2^31-voxel cap): instances are
+    named by packed int32 ids ``shard_rank * shard_max_labels + slot`` from
+    per-shard bounded tables; each table entry carries its basin root's
+    global coordinate as an int32 PAIR (z-plane index, in-plane linear
+    index), so no >31-bit voxel index is ever formed. Capacity: up to 2^31
+    z-planes of up to 2^31 voxels each (H*W < 2^31 is asserted); the final
+    dense numbering ascends in global root linear index, matching the
+    single-device pipeline elementwise for instances whose basins fit within
+    ``shard_halo``. The returned fn accepts an optional ``z_offset`` (global
+    index of the slab stack's first z-plane) so callers — e.g. a streamed
+    z-chunk driver — can place the sharded block anywhere in a larger volume.
     """
     del axis  # derived from the mesh
     axes: Tuple[str, ...] = tuple(mesh.axis_names)
@@ -135,11 +207,13 @@ def make_sharded_infer_fn(
     compute_dtype = resolve(cfg.infer.compute_dtype)
     halo_s = cfg.infer.shard_halo
     nper = tuple(mesh.shape[a] for a in axes)
+    n_shards = int(np.prod(nper))
+    cap = cfg.infer.shard_max_labels
 
     def apply_fn(variables, x):
         return model.apply(variables, x)
 
-    def shard_body(variables, slab):
+    def shard_body(variables, slab, z_offset):
         dl, hl, ww = slab.shape
         idxs = [lax.axis_index(a) for a in axes]
         sharded_dims = list(range(len(axes)))        # z -> dim0, y -> dim1
@@ -216,72 +290,112 @@ def make_sharded_infer_fn(
             nms_impl=cfg.postproc.nms_impl,
             resolve_impl=cfg.postproc.resolve_impl,
         )
-        # local ext index -> GLOBAL voxel index. Per-axis coordinates shift
-        # by constants, and lexicographic (z, y, x) order is preserved, so
-        # every within-slab tie-break agrees between shards; only the VALUES
-        # are remapped. (For 1-D z sharding this is the constant offset add;
-        # with a sharded y the row stride changes, so decode/re-encode.)
+        # 4b: packed-id reconciliation (VERDICT r2 #1a). Labels stay LOCAL
+        # ext-slab linear indices in the volume; only the bounded per-shard
+        # table carries each basin root's GLOBAL coordinate, as the int32
+        # pair (gz, gy*W + gx) — never the (possibly >2^31) linear product.
         # NOTE: no per-shard size filter here — an instance spanning farther
         # than shard_halo could be dropped on one side and kept on the other;
-        # sizes are accumulated globally in global_compact_labels instead
+        # sizes are accumulated globally in packed_compact_labels instead
         # (ADVICE r1), which matches single-device semantics exactly.
         ez, ey = labels_ext.shape[0], labels_ext.shape[1]
         H_glob = hl * (nper[1] if len(axes) == 2 else 1)
-        v = labels_ext - 1
-        lx = v % ww
-        t = v // ww
-        ly = t % ey
-        lz = t // ey
-        gz = lz + idxs[0] * dl - halo_s
-        gy = ly + (idxs[1] * hl - halo_s if len(axes) == 2 else 0)
-        glin = (gz * H_glob + gy) * ww + lx
-        labels_ext = jnp.where(labels_ext > 0, glin + 1, 0)
+        assert H_glob * ww < 2**31, (
+            "plane size H*W must stay below 2^31 voxels for the int32 "
+            "(z-plane, in-plane) pair coordinates")
 
-        core = labels_ext
+        core_local = labels_ext
         for d in sharded_dims:
-            core = lax.slice_in_dim(core, halo_s, halo_s + core_sizes[d], axis=d)
+            core_local = lax.slice_in_dim(
+                core_local, halo_s, halo_s + core_sizes[d], axis=d)
 
-        # 6a: reconcile across boundaries via the redundantly-computed plane:
-        # my copy of the neighbor-after's first core plane lives at ext index
-        # halo_s + core_size; send it forward, compare against their own
-        # first core plane. All sharded dims contribute edges to ONE closure.
-        pairs = []
+        # boundary-overlap planes: my copy of the neighbor-after's first core
+        # plane lives at ext index halo_s + core_size (cropped to core range
+        # in the other sharded dim)
+        send_planes = []
         for d in sharded_dims:
-            n_d = nper[d]
-            if n_d <= 1:
+            if nper[d] <= 1:
+                send_planes.append(None)
                 continue
-            plane_for_next = lax.index_in_dim(labels_ext, halo_s + core_sizes[d],
-                                              axis=d, keepdims=False)
-            # crop the plane's OTHER sharded dim to its core range
+            plane = lax.index_in_dim(labels_ext, halo_s + core_sizes[d],
+                                     axis=d, keepdims=False)
             for d2 in sharded_dims:
                 if d2 == d:
                     continue
                 pd = d2 if d2 < d else d2 - 1
-                plane_for_next = lax.slice_in_dim(
-                    plane_for_next, halo_s, halo_s + core_sizes[d2], axis=pd)
+                plane = lax.slice_in_dim(
+                    plane, halo_s, halo_s + core_sizes[d2], axis=pd)
+            send_planes.append(plane)
+
+        table, counts, n_distinct = build_local_table(
+            core_local, [p for p in send_planes if p is not None], cap)
+        overflow = lax.pmax(n_distinct, axes) > cap
+        lax.cond(
+            overflow,
+            lambda c: jax.debug.print(
+                "tpuseg: sharded label table OVERFLOW — a shard has {c} "
+                "distinct labels > cap {cap}; overflowed instances are "
+                "dropped. Raise InferConfig.shard_max_labels.",
+                c=c, cap=cap),
+            lambda c: None,
+            n_distinct,
+        )
+
+        # global root coordinates per table entry: decode the local ext-slab
+        # root index, shift by this shard's core origin (+ caller z_offset)
+        shard_rank = idxs[0] * (nper[1] if len(axes) == 2 else 1) \
+            + (idxs[1] if len(axes) == 2 else 0)
+        tv = jnp.where(table < _SENTINEL, table - 1, 0)
+        lx = tv % ww
+        t = tv // ww
+        ly = t % ey
+        lz = t // ey
+        gz = lz + idxs[0] * dl - halo_s + z_offset
+        gy = ly + (idxs[1] * hl - halo_s if len(axes) == 2 else 0)
+        ent_hi = jnp.where(table < _SENTINEL, gz, _SENTINEL)
+        ent_lo = jnp.where(table < _SENTINEL, gy * ww + lx, _SENTINEL)
+
+        core_p = rename_to_packed(core_local, table, shard_rank, cap)
+
+        # 6a: edges between my packing and the neighbor's packing of the SAME
+        # overlap plane. All sharded dims contribute to ONE closure so
+        # corner-crossing instances merge transitively.
+        edge_list = []
+        for d in sharded_dims:
+            if send_planes[d] is None:
+                continue
+            n_d = nper[d]
+            plane_p = rename_to_packed(send_planes[d], table, shard_rank, cap)
             from_prev = lax.ppermute(
-                plane_for_next, axes[d], [(j, j + 1) for j in range(n_d - 1)]
+                plane_p, axes[d], [(j, j + 1) for j in range(n_d - 1)]
             )
             theirs = jnp.where(idxs[d] == 0, jnp.zeros_like(from_prev), from_prev)
-            mine = lax.index_in_dim(core, 0, axis=d, keepdims=False)
-            pairs.append((mine, theirs))
-        if pairs:
-            core = merge_boundary_labels(core, pairs, axis=axes)
+            mine = rename_to_packed(
+                lax.index_in_dim(core_local, 0, axis=d, keepdims=False),
+                table, shard_rank, cap)
+            edge_list.append(boundary_edges(mine, theirs))
+        edges = jnp.concatenate(edge_list, axis=0) if edge_list else None
 
-        # 6b: global size filter + dense global 1..K, ordered by original id
-        # (== single-device size_filter_and_compact)
-        return global_compact_labels(core, axes, cfg.infer.shard_max_labels,
-                                     min_size=cfg.postproc.min_size)
+        # 6b: global union + size filter + dense 1..K ordered by global root
+        # coordinate (== single-device size_filter_and_compact order)
+        return packed_compact_labels(
+            core_p, ent_hi, ent_lo, counts, edges, axes, cap, n_shards,
+            min_size=cfg.postproc.min_size)
 
     spec = P(*axes)
     smapped = shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), spec),
+        in_specs=(P(), spec, P()),
         out_specs=spec,
         check_rep=False,
     )
-    return jax.jit(smapped)
+    jitted = jax.jit(smapped)
+
+    def infer(variables, volume, z_offset=0):
+        return jitted(variables, volume, jnp.int32(z_offset))
+
+    return infer
 
 
 def shard_volume(volume, mesh: Mesh, axis=None):

@@ -142,6 +142,159 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
     return fg_hist_fn, chunk_fn
 
 
+def _make_sharded_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
+                            mesh, calib_bins: int = 4096):
+    """y-sharded variants of the chunk kernels (VERDICT r2 #1b — the
+    streamed×sharded composition): each extended z-chunk is sharded over the
+    mesh's single axis along the volume's y dimension, so a >HBM volume
+    streams through ALL chips of a slice instead of one.
+
+    Contract: outputs are bitwise what the single-device chunk kernels emit
+    (chunk-local ext linear label ids; same core + overlap planes) for every
+    basin fitting within ``cfg.infer.shard_halo`` of a y boundary — the host
+    z-reconciliation in :func:`stream_infer` is completely oblivious to the
+    mesh. Cross-shard ids ride the packed (shard, table-slot) scheme of
+    parallel/reconcile.py and are renamed back to min-root-coordinate linear
+    ids before leaving the device.
+    """
+    import jax.lax as lax
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from tpuseg.parallel.halo import exchange_halo
+    from tpuseg.parallel.reconcile import (
+        _SENTINEL,
+        boundary_edges,
+        build_local_table,
+        packed_merge_to_coord_labels,
+        rename_to_packed,
+    )
+
+    compute_dtype = resolve(cfg.infer.compute_dtype)
+    ext_z = chunk_z + 2 * halo
+    (axis,) = mesh.axis_names
+    n_y = mesh.shape[axis]
+    halo_y = cfg.infer.shard_halo
+    cap = cfg.infer.shard_max_labels
+
+    def apply_fn(variables, x):
+        return model.apply(variables, x)
+
+    def forward_slab(variables, slab, lo, hi, mask_top, mask_bot):
+        """(ext_z, H/n_y, W) raw y-slab -> fg/pk probs on the y-extended slab
+        with fake planes (global z ends, edge-replicated y halos) zeroed."""
+        hl = slab.shape[1]
+        idx_y = lax.axis_index(axis)
+        ext2 = exchange_halo(slab.astype(jnp.float32), halo_y, axis, dim=1)
+        ext2 = _normalize_ext(ext2, lo, hi)
+        out = tiled_forward(
+            apply_fn, variables, ext2,
+            tile=cfg.infer.tile, halo=cfg.infer.halo,
+            tile_batch=cfg.infer.tile_batch, compute_dtype=compute_dtype,
+        )
+        fg = jax.nn.sigmoid(out["fg_logits"].astype(jnp.float32))
+        pk = jax.nn.sigmoid(out["peak_logits"].astype(jnp.float32))
+        fg = _mask_fake(fg, mask_top, mask_bot)
+        pk = _mask_fake(pk, mask_top, mask_bot)
+        # fake (edge-replicated) y halos on the outermost shards: those
+        # voxels don't exist in the single-device chunk's watershed domain
+        y = lax.broadcasted_iota(jnp.int32, fg.shape, 1)
+        fake_y = ((y < halo_y) & (idx_y == 0)) | \
+                 ((y >= halo_y + hl) & (idx_y == n_y - 1))
+        return jnp.where(fake_y, 0.0, fg), jnp.where(fake_y, 0.0, pk), idx_y
+
+    def hist_body(variables, slab, lo, hi, mask_top, mask_bot):
+        hl = slab.shape[1]
+        fg, _, _ = forward_slab(variables, slab, lo, hi, mask_top, mask_bot)
+        core = fg[halo : halo + chunk_z, halo_y : halo_y + hl]
+        stride = cfg.data.normalize_sample_stride
+        if stride > 1:
+            core = core[..., ::stride]
+        idx = jnp.clip((core * calib_bins).astype(jnp.int32), 0, calib_bins - 1)
+        hist = jnp.zeros((calib_bins,), jnp.int32).at[idx.ravel()].add(1)
+        return lax.psum(hist, axis)
+
+    def chunk_body(variables, slab, lo, hi, mask_top, mask_bot, fg_thr):
+        hl = slab.shape[1]
+        ww = slab.shape[2]
+        fg, pk, idx_y = forward_slab(variables, slab, lo, hi, mask_top, mask_bot)
+        labels_ext = watershed(
+            fg, pk,
+            peak_threshold=cfg.postproc.peak_threshold,
+            fg_threshold=fg_thr,
+            peak_radius=cfg.postproc.nms_radius,
+            flood_iters=cfg.postproc.flood_iters,
+            method=cfg.postproc.method,
+            ascent_rounds=cfg.postproc.ascent_rounds,
+            nms_impl=cfg.postproc.nms_impl,
+            resolve_impl=cfg.postproc.resolve_impl,
+        )
+        hly = hl + 2 * halo_y
+        core_y = labels_ext[:, halo_y : halo_y + hl]    # full ext z range
+
+        send_plane = (labels_ext[:, halo_y + hl] if n_y > 1 else None)
+        table, counts, n_distinct = build_local_table(
+            core_y, [send_plane] if send_plane is not None else [], cap)
+        overflow = lax.pmax(n_distinct, axis) > cap
+        lax.cond(
+            overflow,
+            lambda c: jax.debug.print(
+                "tpuseg: sharded-chunk label table OVERFLOW — {c} distinct "
+                "labels > cap {cap}; overflowed instances are dropped. Raise "
+                "InferConfig.shard_max_labels.", c=c, cap=cap),
+            lambda c: None,
+            n_distinct,
+        )
+
+        # root coordinates: hi = ext-chunk z plane, lo = global in-plane index
+        tv = jnp.where(table < _SENTINEL, table - 1, 0)
+        lx = tv % ww
+        t = tv // ww
+        ly = t % hly
+        lz = t // hly
+        gy = ly + idx_y * hl - halo_y
+        ent_hi = jnp.where(table < _SENTINEL, lz, _SENTINEL)
+        ent_lo = jnp.where(table < _SENTINEL, gy * ww + lx, _SENTINEL)
+
+        core_p = rename_to_packed(core_y, table, idx_y, cap)
+        edges = None
+        if send_plane is not None:
+            plane_p = rename_to_packed(send_plane, table, idx_y, cap)
+            from_prev = lax.ppermute(
+                plane_p, axis, [(j, j + 1) for j in range(n_y - 1)])
+            theirs = jnp.where(idx_y == 0, jnp.zeros_like(from_prev), from_prev)
+            mine = rename_to_packed(core_y[:, 0], table, idx_y, cap)
+            edges = boundary_edges(mine, theirs)
+
+        return packed_merge_to_coord_labels(
+            core_p, ent_hi, ent_lo, edges, axis, cap, n_y,
+            encode_stride=hl * n_y * ww)
+
+    spec_vol = P(None, axis, None)
+
+    @jax.jit
+    def fg_hist_fn(variables, ext, lo, hi, mask_top, mask_bot):
+        return shard_map(
+            hist_body, mesh=mesh,
+            in_specs=(P(), spec_vol, P(), P(), P(), P()),
+            out_specs=P(), check_rep=False,
+        )(variables, ext, lo, hi, mask_top, mask_bot)
+
+    @jax.jit
+    def chunk_fn(variables, ext, lo, hi, mask_top, mask_bot, fg_thr):
+        labels = shard_map(
+            chunk_body, mesh=mesh,
+            in_specs=(P(), spec_vol, P(), P(), P(), P(), P()),
+            out_specs=spec_vol, check_rep=False,
+        )(variables, ext, lo, hi, mask_top, mask_bot, fg_thr)
+        core = labels[halo : halo + chunk_z]
+        overlap = labels[halo + chunk_z] if halo + chunk_z < ext_z \
+            else jnp.zeros_like(labels[0])
+        return core, overlap
+
+    return fg_hist_fn, chunk_fn
+
+
 def _chunk_histogram(vol_chunk: np.ndarray, lo: float, span: float, bins: int):
     idx = np.clip(((vol_chunk.astype(np.float32) - lo) / span * bins), 0,
                   bins - 1).astype(np.int64)
@@ -178,9 +331,28 @@ def stream_infer(
     normalize: bool = True,
     bins: int = 4096,
     stats: Optional[dict] = None,
+    mesh=None,                   # optional 1-axis Mesh: shard chunks over y
+    resume_dir: Optional[str] = None,
+    on_chunk_done=None,          # test hook: called with ci after each chunk
 ) -> np.ndarray:
     """Stream ``volume`` through the device in z-chunks; returns (or fills
     ``out`` with) the dense int32 instance labeling.
+
+    ``mesh``: optional single-axis ``jax.sharding.Mesh`` — each z-chunk is
+    then sharded along y across the mesh's devices (VERDICT r2 #1b: the
+    streamed×sharded composition lets a >HBM volume use a whole pod slice;
+    the 10+ GVoxel NORTH-STAR config 5 path). Results are identical to the
+    single-device stream for instances fitting ``cfg.infer.shard_halo``.
+
+    ``resume_dir``: optional directory for per-chunk progress checkpoints
+    (SURVEY §5 failure recovery, VERDICT r2 #8). The normalization/
+    calibration scalars and every completed chunk's reconciliation artifacts
+    (ids, counts, boundary edges, overlap-plane state) persist there; a
+    killed multi-hour stream restarted with the SAME arguments — including
+    the same persistent ``out`` buffer (e.g. an ``np.memmap``), which holds
+    the already-computed core labels — resumes from the first incomplete
+    chunk instead of voxel zero. A mismatched geometry (shape/chunk_z/halo)
+    invalidates the directory and restarts cleanly.
 
     ``stats``: optional dict filled with accumulated stage seconds
     (t_normalize_pass, t_calibrate_pass, t_chunks, t_finalize) — on tunneled
@@ -209,8 +381,29 @@ def stream_infer(
         "extended chunk exceeds int32 linear-index range; lower chunk_z/halo"
     )
 
+    # ---- resume bookkeeping (VERDICT r2 #8) ----
+    import json
+    import os as _os
+
+    geom = dict(D=D, H=H, W=W, chunk_z=chunk_z, halo=halo, bins=bins,
+                sharded=int(mesh is not None))
+    resume_meta = None
+    if resume_dir is not None:
+        _os.makedirs(resume_dir, exist_ok=True)
+        meta_path = _os.path.join(resume_dir, "meta.json")
+        if _os.path.exists(meta_path):
+            with open(meta_path) as f:
+                m = json.load(f)
+            if m.get("geom") == geom:
+                resume_meta = m
+            else:
+                for fn in _os.listdir(resume_dir):
+                    _os.remove(_os.path.join(resume_dir, fn))
+
     # ---- pass 1: global percentile from a streamed histogram ----
-    if normalize:
+    if resume_meta is not None:
+        lo, hi = np.float32(resume_meta["lo"]), np.float32(resume_meta["hi"])
+    elif normalize:
         stride = cfg.data.normalize_sample_stride
         gmin, gmax = np.inf, -np.inf
         for z0, z1 in chunks:
@@ -239,11 +432,29 @@ def stream_infer(
         lo, hi = 0.0, 1.0
     lo_j, hi_j = jnp.float32(lo), jnp.float32(hi)
 
-    fg_hist_fn, chunk_fn = _make_chunk_fns(model, cfg, halo, chunk_z, bins)
+    if mesh is not None:
+        (axis,) = mesh.axis_names
+        if H % mesh.shape[axis]:
+            raise ValueError(
+                f"volume H={H} must divide the mesh's {mesh.shape[axis]} "
+                f"y-shards")
+        fg_hist_fn, chunk_fn = _make_sharded_chunk_fns(
+            model, cfg, halo, chunk_z, mesh, bins)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _sharding = NamedSharding(mesh, P(None, axis, None))
+
+        def _to_device(ext):
+            return jax.device_put(ext, _sharding)
+    else:
+        fg_hist_fn, chunk_fn = _make_chunk_fns(model, cfg, halo, chunk_z, bins)
+        _to_device = jnp.asarray
     _mark("t_calibrate_pass")
 
     # ---- pass 1b: volume-matched fg-threshold calibration (extra net pass) ----
-    if cfg.postproc.fg_target_fraction > 0:
+    if resume_meta is not None:
+        fg_thr = resume_meta["fg_thr"]
+    elif cfg.postproc.fg_target_fraction > 0:
         stride = cfg.data.normalize_sample_stride
         sample_plane = H * len(range(0, W, max(stride, 1)))
         fg_hist = np.zeros(bins, np.int64)
@@ -251,7 +462,7 @@ def stream_infer(
         for z0, z1 in chunks:
             ext, mask_top, mask_bot = _read_ext(volume, z0, z1, halo, ext_z, D)
             h = np.asarray(fg_hist_fn(
-                variables, jnp.asarray(ext), lo_j, hi_j,
+                variables, _to_device(ext), lo_j, hi_j,
                 jnp.int32(mask_top), jnp.int32(mask_bot))).astype(np.int64)
             # short last chunk: fake planes inside the core window counted
             # prob-0.0 into bin 0 — remove them so the histogram covers
@@ -270,19 +481,47 @@ def stream_infer(
     else:
         fg_thr = cfg.postproc.fg_threshold
 
+    if resume_dir is not None and resume_meta is None:
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump({"geom": geom, "lo": float(lo), "hi": float(hi),
+                       "fg_thr": float(fg_thr)}, f)
+        _os.replace(meta_path + ".tmp", meta_path)
+
     _mark("t_chunks")
     # ---- pass 2: chunked net + watershed, host reconciliation ----
-    # Pipelined: while the host ingests chunk N's (async-copied) results,
-    # chunk N+1's upload + compute are already in flight — the ~27 MB/s
-    # device->host tunnel copy overlaps the next chunk's device work instead
-    # of serializing after it. Only the core labels + ONE overlap plane are
+    # Pipelined three ways: while chunk N computes on device, (a) chunk N's
+    # D2H copies are in flight (async), (b) the host reads + UPLOADS chunk
+    # N+1 (VERDICT r2 #9 — the H2D transfer rides under compute N instead of
+    # serializing ahead of compute N+1), and (c) the host ingests chunk N-1's
+    # already-copied results. Only the core labels + ONE overlap plane are
     # downloaded (cropped on device).
     result = out if out is not None else np.zeros((D, H, W), np.int32)
     edge_chunks = []                 # (E_i, 2) int64 rename edges (global ids)
     id_chunks, count_chunks = [], [] # per-chunk GLOBAL instance ids and counts
     state = {"prev_overlap": None}   # previous chunk's global-id 1st-plane copy
 
-    def process(z0, z1, core_dev, overlap_dev):
+    # resume: artifacts of completed chunks load from disk; their core labels
+    # are already in the caller-provided persistent ``out`` buffer
+    start_ci = 0
+    if resume_meta is not None:
+        def _chunk_path(ci):
+            return _os.path.join(resume_dir, f"chunk_{ci:06d}.npz")
+
+        while _os.path.exists(_chunk_path(start_ci)):
+            start_ci += 1
+        for ci in range(start_ci):
+            a = np.load(_chunk_path(ci))
+            id_chunks.append(a["ids"])
+            count_chunks.append(a["counts"])
+            if a["edges"].size:
+                edge_chunks.append(a["edges"])
+            if ci == start_ci - 1 and bool(a["has_overlap"]):
+                ov = a["overlap"]
+                off = np.int64(chunks[ci][0] - halo) * plane
+                state["prev_overlap"] = np.where(
+                    ov > 0, ov.astype(np.int64) + off, 0)
+
+    def process(ci, z0, z1, core_dev, overlap_dev):
         cz = z1 - z0
         offset = np.int64(z0 - halo) * plane
         core = np.asarray(core_dev)[:cz]                 # int32 LOCAL ids
@@ -291,36 +530,59 @@ def stream_infer(
         core0_global = np.where(core[0] > 0, core[0].astype(np.int64) + offset, 0)
         # merge against previous chunk's redundant copy of our first plane
         prev_overlap = state["prev_overlap"]
+        edges_ci = np.zeros((0, 2), np.int64)
         if prev_overlap is not None:
             both = (core0_global > 0) & (prev_overlap > 0) \
                 & (core0_global != prev_overlap)
             if both.any():
-                edge_chunks.append(
-                    np.stack([core0_global[both].ravel(),
-                              prev_overlap[both].ravel()], axis=-1)
-                )
+                edges_ci = np.stack([core0_global[both].ravel(),
+                                     prev_overlap[both].ravel()], axis=-1)
+                edge_chunks.append(edges_ci)
         if halo > 0 and z1 < D:
             nxt = np.asarray(overlap_dev)
             state["prev_overlap"] = np.where(
                 nxt > 0, nxt.astype(np.int64) + offset, 0)
         else:
+            nxt = None
             state["prev_overlap"] = None
 
         ids, counts = np.unique(core[core > 0], return_counts=True)
         id_chunks.append(ids.astype(np.int64) + offset)
         count_chunks.append(counts)
 
-    pending = None
-    for ci, (z0, z1) in enumerate(chunks):
+        if resume_dir is not None:
+            p = _os.path.join(resume_dir, f"chunk_{ci:06d}.npz")
+            tmp = p + ".tmp.npz"
+            np.savez_compressed(
+                tmp, ids=id_chunks[-1], counts=counts.astype(np.int64),
+                edges=edges_ci,
+                overlap=(nxt if nxt is not None
+                         else np.zeros((0, 0), np.int32)),
+                has_overlap=np.bool_(nxt is not None))
+            _os.replace(tmp, p)
+        if on_chunk_done is not None:
+            on_chunk_done(ci)
+
+    def _upload(ci):
+        z0, z1 = chunks[ci]
         ext, mask_top, mask_bot = _read_ext(volume, z0, z1, halo, ext_z, D)
+        return _to_device(ext), jnp.int32(mask_top), jnp.int32(mask_bot)
+
+    fg_thr_j = jnp.float32(fg_thr)
+    pending = None
+    nxt_up = _upload(start_ci) if start_ci < len(chunks) else None
+    for ci in range(start_ci, len(chunks)):
+        z0, z1 = chunks[ci]
+        ext_dev, mt, mb = nxt_up
         core_dev, overlap_dev = chunk_fn(
-            variables, jnp.asarray(ext), lo_j, hi_j,
-            jnp.int32(mask_top), jnp.int32(mask_bot), jnp.float32(fg_thr))
+            variables, ext_dev, lo_j, hi_j, mt, mb, fg_thr_j)
         for a in (core_dev, overlap_dev):
             a.copy_to_host_async()
+        # read + upload chunk N+1 while chunk N computes
+        nxt_up = _upload(ci + 1) if ci + 1 < len(chunks) else None
         if pending is not None:
             process(*pending)
-        pending = (z0, z1, core_dev, overlap_dev)
+        pending = (ci, z0, z1, core_dev, overlap_dev)
     if pending is not None:
         process(*pending)
 
