@@ -103,3 +103,28 @@ def test_forced_pallas_on_unsupported_shape_raises():
     fg = jnp.zeros((7, 13, 64), jnp.float32)
     with pytest.raises(ValueError, match="pallas"):
         watershed(fg, fg, resolve_impl="pallas")
+
+
+def test_sort_filter_impl_matches_scatter():
+    """r3: the two-sort size-filter schedule must be bitwise-identical to the
+    histogram schedule on both dense and sparse label spaces."""
+    import numpy as np
+
+    from tpuseg.ops.filter import (
+        size_filter_and_compact, size_filter_and_compact_dense)
+
+    rng = np.random.default_rng(0)
+    dense = rng.integers(0, 40, (13, 17, 19)).astype(np.int32)
+    a = np.asarray(size_filter_and_compact_dense(dense, 8, 64, impl="scatter"))
+    b = np.asarray(size_filter_and_compact_dense(dense, 8, 64, impl="sort"))
+    np.testing.assert_array_equal(a, b)
+
+    n = 13 * 17 * 19
+    sparse = np.where(rng.random((13, 17, 19)) < 0.6,
+                      rng.integers(1, n + 1, (13, 17, 19)), 0).astype(np.int32)
+    # give a few ids real mass so some survive
+    sparse[:6, :6, :6] = 7
+    sparse[7:, 10:, 10:] = 4142  # within the scatter impl N bound
+    a = np.asarray(size_filter_and_compact(sparse, 5, impl="scatter"))
+    b = np.asarray(size_filter_and_compact(sparse, 5, impl="sort"))
+    np.testing.assert_array_equal(a, b)
