@@ -293,6 +293,72 @@ def main():
             **(train_info or {}),
         }
 
+        # ---- c5: adversarial quality matrix (VERDICT r2 #3) ----
+        # Touching/overlapping pairs + SNR sweep + illumination gradient,
+        # scored with the SAME trained checkpoint and compiled program as c3
+        # (fixtures generated at the headline stack shape). The "F1 within
+        # 0.5 pts" claim must hold where nuclei actually touch.
+        from tpuseg.data import synthesize_touching_volume
+
+        adversarial = {
+            "touch60_snr20": dict(touch_factor=0.6, noise=0.05),
+            "touch60_snr8": dict(touch_factor=0.6, noise=0.12),
+            "touch50_overlap": dict(touch_factor=0.5, noise=0.05),
+            "touch70_gradient": dict(touch_factor=0.7, noise=0.05,
+                                     gradient=0.3),
+        }
+        c5 = {}
+        for name, kw in adversarial.items():
+            tv = synthesize_touching_volume(
+                shape=VOLUME_SHAPE, num_pairs=150, num_singles=100,
+                radius_range=(5.0, 8.0), seed=17, **kw)
+            frac_a = expected_fg_fraction(tv.half_sizes, tv.image.size)
+            c5cfg = dataclasses.replace(c3, postproc=dataclasses.replace(
+                c3.postproc, fg_target_fraction=frac_a))
+            inf5 = make_infer_fn(model, c5cfg)
+            lab5 = np.asarray(_sync(inf5(trained, jnp.asarray(tv.image))))
+            mi = instance_metrics(lab5, tv.labels, iou_threshold=0.5)
+            mc = instance_metrics(lab5, tv.labels, criterion="center")
+            c5[name] = {
+                "n_gt": int(tv.labels.max()),
+                "n_pred": mi["n_pred"],
+                "f1_iou50": round(mi["f1"], 4),
+                "f1_center": round(mc["f1"], 4),
+                "mean_iou": round(mi["mean_matched_iou"], 4)
+                if mi["mean_matched_iou"] == mi["mean_matched_iou"] else None,
+            }
+        detail["c5_adversarial_quality"] = c5
+
+        # ---- c6: halo-exactness quantification (VERDICT r2 weak #2) ----
+        # The flagship waives halo >= RF(53); quantify the border error of
+        # halo=8 against halo=16 on BOTH the standard and an adversarial
+        # fixture instead of a single F1 point.
+        tv = synthesize_touching_volume(
+            shape=VOLUME_SHAPE, num_pairs=150, num_singles=100,
+            radius_range=(5.0, 8.0), touch_factor=0.6, noise=0.05, seed=17)
+        c6 = {}
+        for fixture_name, fv, gt in (("standard", vol.image, vol.labels),
+                                     ("touching", tv.image, tv.labels)):
+            frac_h = expected_fg_fraction(
+                vol.half_sizes if fixture_name == "standard" else tv.half_sizes,
+                fv.size)
+            row = {}
+            labs = {}
+            for h in (8, 16):
+                ch = dataclasses.replace(
+                    c3,
+                    infer=dataclasses.replace(c3.infer, halo=h),
+                    postproc=dataclasses.replace(
+                        c3.postproc, fg_target_fraction=frac_h))
+                infh = make_infer_fn(model, ch)
+                labs[h] = np.asarray(_sync(infh(trained, jnp.asarray(fv))))
+                mh = instance_metrics(labs[h], gt, iou_threshold=0.5)
+                row[f"f1_iou50_halo{h}"] = round(mh["f1"], 4)
+            row["voxel_agreement_8_vs_16"] = round(
+                float((labs[8] == labs[16]).mean()), 6)
+            c6[fixture_name] = row
+        detail["c6_halo_exactness"] = c6
+
         # ---- config 4: training-step throughput, single chip ----
         from tpuseg.data import PatchSampler
         from tpuseg.models import build_model as _bm
@@ -317,9 +383,12 @@ def main():
         _sync(metrics["loss"])
         dt = (time.perf_counter() - t0) / n_steps
         vox = cfg.data.batch_size * int(np.prod(cfg.data.patch_size))
+        # train MFU (VERDICT r2 #7): fwd + bwd ~= 3x forward FLOPs
+        train_flops = 3 * vox * unet_flops_per_voxel(tcfg.model)
         detail["c4_train_bf16"] = {
             "step_ms": round(dt * 1e3, 2),
             "mvox_s": round(vox / dt / 1e6, 3),
+            "train_mfu_bf16": round(train_flops / dt / PEAK_BF16_FLOPS, 4),
         }
 
     result = {

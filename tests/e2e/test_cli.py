@@ -156,3 +156,41 @@ def test_cli_bad_override_errors(fixture_dir):
 
     with pytest.raises((SystemExit, KeyError)):
         train.main(["--synthetic", "1", "--set", "train.nope=1"])
+
+
+@pytest.mark.slow
+def test_cli_infer_stream_resume_and_shard(fixture_dir, capsys, tmp_path):
+    """r3 flags: --resume-dir persists chunk progress (npy output doubles as
+    the persistent buffer) and --stream-shard drives the streamed x y-sharded
+    composition; both must match the plain streamed labeling."""
+    import numpy as np
+
+    from tpuseg.cli import infer
+    from tpuseg.data.volume_io import load_volume
+
+    d = fixture_dir
+    _ensure_ckpt(d)
+    base = [
+        "--checkpoint", str(d / "ckpt"),
+        "--input", str(d / "stack.tiff"),
+        "--stream", "16", "--set", "infer.shard_halo=8",
+        *_common_overrides(d),
+    ]
+    infer.main(base + ["--output", str(d / "pred_plain.npy")])
+    want = np.load(str(d / "pred_plain.npy"))
+
+    infer.main(base + ["--output", str(tmp_path / "pred_resume.npy"),
+                       "--resume-dir", str(tmp_path / "rd")])
+    got = np.load(str(tmp_path / "pred_resume.npy"))
+    np.testing.assert_array_equal(got, want)
+    # second invocation resumes over the completed dir (all chunks done)
+    infer.main(base + ["--output", str(tmp_path / "pred_resume.npy"),
+                       "--resume-dir", str(tmp_path / "rd")])
+    got2 = np.load(str(tmp_path / "pred_resume.npy"))
+    np.testing.assert_array_equal(got2, want)
+
+    infer.main(base + ["--output", str(tmp_path / "pred_shard.npy"),
+                       "--stream-shard", "4",  # H=48 -> y slabs 12 >= halo 8
+                       "--set", "data.normalize_sample_stride=1"])
+    got3 = np.load(str(tmp_path / "pred_shard.npy"))
+    assert got3.shape == want.shape and got3.max() > 0

@@ -9,6 +9,22 @@ import argparse
 import time
 
 
+def _exists_with_shape(args, shape) -> bool:
+    import os
+
+    import numpy as np
+
+    path = args.output if args.output.endswith(".npy") \
+        else args.output + ".partial.npy"
+    if not os.path.exists(path):
+        return False
+    try:
+        m = np.load(path, mmap_mode="r")
+        return m.shape == tuple(shape) and m.dtype == np.int32
+    except Exception:
+        return False
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     from tpuseg.cli.common import add_config_args, load_config, load_variables
@@ -24,6 +40,13 @@ def main(argv=None):
     p.add_argument("--stream", type=int, default=0, metavar="CHUNK_Z",
                    help="stream the volume through the device in z-chunks of "
                         "this depth (for volumes larger than HBM)")
+    p.add_argument("--resume-dir", default="",
+                   help="with --stream: per-chunk progress checkpoints so a "
+                        "killed run resumes from the first incomplete chunk "
+                        "(pass the same --output; it holds finished chunks)")
+    p.add_argument("--stream-shard", type=int, default=0, metavar="N",
+                   help="with --stream: shard each z-chunk over y across N "
+                        "devices (streamed x sharded composition)")
     p.add_argument("--validate", action="store_true",
                    help="check the output invariant that every instance is "
                         "one 6-connected component (ops.label_components)")
@@ -54,9 +77,30 @@ def main(argv=None):
     if args.stream:
         from tpuseg.infer import stream_infer
 
+        mesh = None
+        if args.stream_shard:
+            from jax.sharding import Mesh
+
+            n = args.stream_shard
+            if n > len(jax.devices()):
+                raise SystemExit(f"--stream-shard {n} needs {n} devices, "
+                                 f"have {len(jax.devices())}")
+            mesh = Mesh(np.asarray(jax.devices()[:n]), ("y",))
+        out = None
+        if args.resume_dir:
+            # persistent int32 memmap at the OUTPUT path so completed chunks
+            # survive a kill (save_volume below replaces it atomically for
+            # non-npy formats)
+            out = np.lib.format.open_memmap(
+                args.output if args.output.endswith(".npy")
+                else args.output + ".partial.npy",
+                mode="r+" if _exists_with_shape(args, volume.shape)
+                else "w+", dtype=np.int32, shape=volume.shape)
         labels = stream_infer(model, cfg, variables, volume,
-                              chunk_z=args.stream,
-                              normalize=not args.no_normalize)
+                              chunk_z=args.stream, out=out,
+                              normalize=not args.no_normalize,
+                              mesh=mesh,
+                              resume_dir=args.resume_dir or None)
     elif args.shard:
         import re
 
@@ -96,7 +140,14 @@ def main(argv=None):
         if not ok:
             raise SystemExit(3)
 
-    save_volume(args.output, labels)
+    if args.stream and args.resume_dir and args.output.endswith(".npy"):
+        labels.flush()  # the output memmap IS the result file
+    else:
+        save_volume(args.output, labels)
+        if args.stream and args.resume_dir:
+            import os
+
+            os.remove(args.output + ".partial.npy")
     n = int(labels.max())
     mvox = volume.size / 1e6
     print(f"{args.input}: {volume.shape} -> {n} instances "

@@ -91,6 +91,9 @@ class TrainConfig:
     ckpt_every: int = 500
     ckpt_dir: str = "/tmp/tpuseg_ckpt"
     keep_ckpts: int = 3
+    grad_accum: int = 1           # microbatches per optimizer step (k-times
+                                  # larger effective batch at 1/k activation
+                                  # memory; see train/step.py)
     data_axis: str = "data"       # DP mesh axis name
     prefetch_depth: int = 2       # background batches sampled+uploaded ahead
                                   # of the device (data/prefetch.py); 0 = the

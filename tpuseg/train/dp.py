@@ -41,7 +41,8 @@ def make_dp_train_step(model, cfg: Config, mesh: Mesh):
         from tpuseg.models import build_model
 
         model = build_model(model.config, bn_axis=axis)
-    inner = make_train_step(model, cfg, axis_name=axis)
+    inner = make_train_step(model, cfg, axis_name=axis,
+                            grad_accum=cfg.train.grad_accum)
 
     def mapped(state, batch, rng):
         # same PRNG on all shards; per-example augmentation keys come from

@@ -70,7 +70,8 @@ def train(
         step_fn = make_dp_train_step(model, cfg, mesh)
         put = lambda b: shard_batch(b, mesh)
     else:
-        step_fn = jax.jit(make_train_step(model, cfg), donate_argnums=(0,))
+        step_fn = jax.jit(make_train_step(model, cfg, grad_accum=cfg.train.grad_accum),
+                          donate_argnums=(0,))
         put = lambda b: b
 
     logger = MetricsLogger(log_path, echo=False)

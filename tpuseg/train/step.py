@@ -121,14 +121,66 @@ def loss_fn(params, batch_stats, model, batch, cfg: Config, rng: jax.Array,
     return loss, (metrics, new_vars["batch_stats"])
 
 
-def make_train_step(model, cfg: Config, axis_name: str | None = None):
+def make_train_step(model, cfg: Config, axis_name: str | None = None,
+                    grad_accum: int = 1):
     """Build the (state, batch, rng) -> (state, metrics) step.
 
     ``axis_name``: if set, gradients and metrics are pmean-averaged over that
     mapped mesh axis (used by train.dp under shard_map). BatchNorm statistics
     sync inside the model via its own axis_name; the model passed here must
     have been built with ``bn_axis=axis_name`` in that case.
+
+    ``grad_accum`` > 1 (VERDICT r2 #7): the batch's leading dim splits into
+    that many microbatches run sequentially under ``lax.scan``, gradients
+    averaged before ONE optimizer update — a k-times-larger effective batch
+    at 1/k the activation memory. Because the losses normalize per example
+    (losses/, the DP-decomposability argument), the averaged gradient equals
+    the big-batch gradient exactly for norm="group"/"none"; with
+    norm="batch" the microbatches see their own batch statistics (the same
+    deviation any BN grad-accum scheme has). Per-example augmentation keys
+    use the global example index, so the drawn augmentations are identical
+    to the unaccumulated step.
     """
+
+    def grads_and_aux(state, batch, rng, offset):
+        if grad_accum == 1:
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, model, batch, cfg, rng, offset)
+            return grads, metrics, new_stats
+
+        b = batch["image"].shape[0]
+        assert b % grad_accum == 0, (b, grad_accum)
+        mb = b // grad_accum
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((grad_accum, mb) + x.shape[1:]), batch)
+
+        def body(carry, inp):
+            stats, gacc, macc = carry
+            mbatch, j = inp
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, stats, model, mbatch, cfg, rng, offset + j * mb)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+            macc = jax.tree_util.tree_map(jnp.add, macc, metrics)
+            return (new_stats, gacc, macc), None
+
+        gacc0 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, jnp.float32), state.params)
+        first = jax.tree_util.tree_map(lambda x: x[0], micro)
+        # metrics tree STRUCTURE only — no compute
+        _, (m_shape, _) = jax.eval_shape(
+            lambda p, s, b, r, o: loss_fn(p, s, model, b, cfg, r, o),
+            state.params, state.batch_stats, first, rng, offset)
+        macc0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+        (new_stats, gacc, macc), _ = jax.lax.scan(
+            body, (state.batch_stats, gacc0, macc0),
+            (micro, jnp.arange(grad_accum, dtype=jnp.int32)))
+        k = jnp.float32(grad_accum)
+        grads = jax.tree_util.tree_map(lambda g: g / k, gacc)
+        metrics = jax.tree_util.tree_map(lambda m: m / k, macc)
+        return grads, metrics, new_stats
 
     def step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -139,9 +191,7 @@ def make_train_step(model, cfg: Config, axis_name: str | None = None):
             offset = jax.lax.axis_index(axis_name) * batch["image"].shape[0]
         else:
             offset = 0
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, model, batch, cfg, rng, offset)
+        grads, metrics, new_stats = grads_and_aux(state, batch, rng, offset)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
