@@ -89,7 +89,7 @@ def main():
     from bench import WEIGHTS_CACHE, get_trained_variables, make_cfg
     from tpuseg.infer import stream_infer
     from tpuseg.models import build_model
-    from tpuseg.ops.calibrate import expected_fg_fraction
+    from tpuseg.ops.calibrate import adaptive_upper_pct, expected_fg_fraction
 
     # deep-z shape: ext chunks (chunk_z + 2*halo, 1024, 1024) hold ~8 live
     # f32 volume-sized buffers through the fused chunk program — (D, 2048,
@@ -111,8 +111,15 @@ def main():
     model = build_model(cfg.model)
     variables, _ = get_trained_variables(cfg)
     frac = expected_fg_fraction(radii, int(np.prod(shape)))
-    cfg = dataclasses.replace(cfg, postproc=dataclasses.replace(
-        cfg.postproc, fg_target_fraction=frac, peak_threshold=0.35))
+    # sparse GVoxel stacks: keep the upper normalization percentile OUT of
+    # the foreground intensity range or instance cores saturate into
+    # plateaus and over-segment (ops.calibrate.adaptive_upper_pct)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, normalize_pcts=(1.0, adaptive_upper_pct(frac))),
+        postproc=dataclasses.replace(
+            cfg.postproc, fg_target_fraction=frac, peak_threshold=0.35))
 
     vol = np.load(vol_path, mmap_mode="r")
     out = np.lib.format.open_memmap(lab_path, mode="w+", dtype=np.int32,
@@ -155,6 +162,7 @@ def main():
             pred_sizes, [25, 50, 75])] if n else [],
         "pred_below_2x_min_size": int((pred_sizes < 2 * cfg.postproc.min_size).sum()),
         "calibrated": True,
+        "normalize_upper_pct": round(adaptive_upper_pct(frac), 4),
         "chunk_z": 96,
         "halo": 16,
         "device": str(jax.devices()[0]),

@@ -128,3 +128,17 @@ def test_sort_filter_impl_matches_scatter():
     a = np.asarray(size_filter_and_compact(sparse, 5, impl="scatter"))
     b = np.asarray(size_filter_and_compact(sparse, 5, impl="sort"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_adaptive_upper_pct():
+    """r3 (VERDICT r2 #4): density-aware normalization percentile — dense
+    volumes keep the reference default, sparse ones clip at most
+    fg_fraction/headroom, hot-pixel cap engages at extreme sparsity."""
+    import pytest
+
+    from tpuseg.ops.calibrate import adaptive_upper_pct
+
+    assert adaptive_upper_pct(0.5) == 99.8
+    assert adaptive_upper_pct(0.025) == 99.8           # boundary: fg/10 = 0.25%
+    assert adaptive_upper_pct(0.0024) == pytest.approx(99.976)
+    assert adaptive_upper_pct(1e-9) == 99.995

@@ -233,7 +233,7 @@ def _make_sharded_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
         core_y = labels_ext[:, halo_y : halo_y + hl]    # full ext z range
 
         send_plane = (labels_ext[:, halo_y + hl] if n_y > 1 else None)
-        table, counts, n_distinct = build_local_table(
+        table, _counts, n_distinct = build_local_table(  # sizes filtered on host
             core_y, [send_plane] if send_plane is not None else [], cap)
         overflow = lax.pmax(n_distinct, axis) > cap
         lax.cond(
