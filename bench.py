@@ -95,22 +95,25 @@ def get_cpu_baseline(path, variables=None, tag="untrained") -> dict:
     return res
 
 
-def make_cfg(compute_dtype="bfloat16", tile=(96, 256, 256), tile_batch=1,
+def make_cfg(compute_dtype="bfloat16", tile=(96, 256, 512), tile_batch=1,
              **post):
     from tpuseg.core import Config, InferConfig, ModelConfig, PostprocConfig
 
-    # On-chip r2 sweeps:
-    # * tile (96,256,256) tb=1 beats (48,256,256) tb=2 (overcompute 1.69 vs
-    #   2.1); (…,512,512) variants OOM at compile.
-    # * conv_impl: at THIS tile zpack (z-taps folded into channels) runs the
-    #   sweep in 0.78 s vs native 1.38 s (the r1 winner at the old tile) —
-    #   schedule choice is shape-dependent, so the library default stays
-    #   "native" and the flagship bench pins the measured winner.
+    # On-chip sweeps (r2, revised late r3 — ARCHITECTURE.md "layout
+    # waterbed"):
+    # * tile: (96,256,512) zdecomp sweeps 607 ms vs 626 at (96,256,256) and
+    #   beats (48,256,256) tb=2; (96,512,512) still fails TPU compile.
+    # * conv_impl: all decomposed schedules land within ~3% at this tile
+    #   (layout-equilibrated); zdecomp is the measured winner (whole-net
+    #   0.625 s vs zpack 0.645 at 256²; 176.4 vs 180.6 ms single tile),
+    #   native is 277 ms/tile. Schedule choice is shape-dependent, so the
+    #   library default stays "native" and the flagship bench pins the
+    #   measured winner.
     # * halo 8 vs 16: instance F1 1.0000 and mean matched IoU 0.867 are
     #   IDENTICAL on the trained eval stack while e2e drops 4.1 -> 3.1 s;
     #   the halo<RF warning documents the border approximation.
     return Config(
-        model=ModelConfig(conv_impl="zpack"),
+        model=ModelConfig(conv_impl="zdecomp"),
         infer=InferConfig(tile=tile, halo=8, tile_batch=tile_batch,
                           compute_dtype=compute_dtype),
         postproc=PostprocConfig(**post),

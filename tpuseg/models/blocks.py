@@ -136,7 +136,10 @@ class Up(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        x = upsample2x(x)
+        # upsample2x folds into the conv: under impl="auto" the parity
+        # decomposition (conv3d.upconv2x_parity) never materializes the 2x
+        # volume; other impls upsample explicitly inside Conv3D. The param
+        # tree ("up_conv": kernel/bias) is identical either way.
         x = Conv3D(
             self.features,
             kernel_size=(2, 2, 2),
@@ -144,6 +147,7 @@ class Up(nn.Module):
             impl=self.conv_impl,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            pre_upsample2x=True,
             name="up_conv",
         )(x)
         x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
