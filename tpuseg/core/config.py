@@ -106,6 +106,10 @@ class InferConfig:
     halo: int = 16                                # context margin on each side
     tile_batch: int = 1                           # tiles batched through the net
     compute_dtype: str = "bfloat16"
+    apply_impl: str = "flax"    # eval forward: "flax" (model.apply) |
+                                # "fused" (Pallas fused full-res ConvBlocks,
+                                # models/fused_eval.py — same function up to
+                                # bf16 reassociation, no layout taxes)
     spatial_axes: Tuple[str, ...] = ("z",)        # mesh axes for sharded inference
     shard_halo: int = 32        # post-proc halo planes exchanged between shards;
                                 # sharding is communication-free-exact for

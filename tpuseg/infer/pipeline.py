@@ -75,8 +75,17 @@ def _make_infer_body(model, cfg: Config, normalize: bool):
                 f"border-approximate, not voxel-exact. Set infer.halo>={rf} for "
                 "exactness (slower).", stacklevel=3)
 
-    def apply_fn(variables, x):
-        return model.apply(variables, x)
+    if cfg.infer.apply_impl == "fused":
+        from tpuseg.models.fused_eval import make_fused_apply
+
+        apply_fn = make_fused_apply(model)
+    elif cfg.infer.apply_impl == "flax":
+
+        def apply_fn(variables, x):
+            return model.apply(variables, x)
+
+    else:
+        raise ValueError(f"unknown apply_impl {cfg.infer.apply_impl!r}")
 
     def infer_one(variables, volume):
         vol = volume.astype(jnp.float32)
