@@ -48,6 +48,49 @@ def test_supported_guard():
     assert not pallas_resolve_supported((16, 32, 96))    # lanes not 128-mult
 
 
+def test_auto_block_divisibility_and_budget():
+    from tpuseg.ops.pallas_resolve import (
+        _FLOOD_BLOCKS, _FLOOD_LIVE, auto_block,
+    )
+
+    # flagship shape: the biggest candidate divides and fits
+    assert auto_block((96, 512, 512), 8, _FLOOD_BLOCKS,
+                      live=_FLOOD_LIVE) == (32, 32)
+    # D=40 rejects bz in {32, 16}: falls to (8, 16)
+    assert auto_block((40, 512, 512), 8, _FLOOD_BLOCKS,
+                      live=_FLOOD_LIVE) == (8, 16)
+    # wide W: the VMEM estimate demotes to a smaller block than divisibility
+    # alone would pick
+    bz, by = auto_block((96, 512, 2048), 8, _FLOOD_BLOCKS, live=_FLOOD_LIVE)
+    assert ((bz + 16) * (by + 16) * 2048 * 4 * _FLOOD_LIVE
+            <= 100 * 1024 * 1024)
+    assert (bz, by) != (32, 32)
+    # nothing fits -> None, and the small-volume MSA-pinned adjustment makes
+    # (16, 32, 2048) unfittable for flood (the measured in-while_loop OOM)
+    assert auto_block((96, 512, 1 << 20), 8, _FLOOD_BLOCKS,
+                      live=_FLOOD_LIVE) is None
+    assert auto_block((16, 32, 2048), 8, _FLOOD_BLOCKS,
+                      live=_FLOOD_LIVE) is None
+    assert not pallas_resolve_supported((16, 32, 2048))
+
+
+def test_unfittable_shape_raises_and_watershed_falls_back():
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.ops.watershed import watershed
+
+    shape = (16, 32, 2048)  # flood-unfittable (MSA-pinned small volume)
+    with pytest.raises(ValueError, match="no flood block fits"):
+        flood_resolve(jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool),
+                      jnp.zeros(shape, jnp.float32), 8)
+    # resolve_impl="auto" must route such shapes to the XLA path, not crash
+    pk = jax.random.uniform(jax.random.key(0), shape)
+    lab = watershed(jnp.ones(shape) * 0.9, pk, peak_threshold=0.995,
+                    resolve_impl="auto")
+    assert int(lab.max()) > 0
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_flood_resolve_equals_xla_flood(seed):
     fg_prob, peak = _blob_maps(seed)

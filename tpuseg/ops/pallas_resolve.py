@@ -73,6 +73,52 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Candidate (bz, by) blocks, best-first. Bigger blocks amortize the 2*halo
+# window overcompute (the kernels are VPU-bound): at (96, 512, 512) the
+# measured resolve times are chase 0.41 s -> 0.20 s and flood 0.40 s ->
+# 0.13 s going from the old fixed (8, 16)/(8, 8) to (32, 32). The picker
+# takes the first candidate that (a) divides (D, H) and (b) fits a VMEM
+# budget estimate — wide-W volumes (streamed chunks) automatically get
+# smaller blocks instead of failing Mosaic allocation.
+_CHASE_BLOCKS = ((32, 32), (16, 32), (16, 16), (8, 16))
+_FLOOD_BLOCKS = ((32, 32), (16, 32), (16, 16), (8, 16), (8, 8))
+# Live window-sized arrays per kernel, calibrated against measured compile
+# pass/fail boundaries on v5e at the 100 MB scoped limit (probe matrix,
+# 2026-08-18): chase OK at win 8 MB, OOM at 12 MB -> live 12; flood OK at
+# win 4.5 MB, OOM at 6 MB (116.9 MB reported => ~19.5 actual) -> live 20.
+_CHASE_LIVE = 12
+_FLOOD_LIVE = 20
+_VMEM_BUDGET = 100 * 1024 * 1024
+# When the padded operands are small, XLA's memory-space assignment may pin
+# them AND the kernel output in VMEM *on top of* the kernel's scoped
+# allocation (measured: flood at (16,32,2048) inside a while_loop — window
+# 4.7 MB, reported 116.77 MB = ~92 MB kernel + ~25 MB pinned operand/output
+# buffers, all tagged S(1) in the OOM dump). Large operands are never
+# pinned (the flagship (96,512,512) runs (32,32) at ~90 MB scoped, fine).
+_MSA_PIN_MAX = 16 * 1024 * 1024
+
+
+def auto_block(shape, halo: int, candidates, live: int,
+               budget: int = _VMEM_BUDGET):
+    """Largest candidate block that divides (D, H) and whose (window bytes x
+    ``live`` concurrently-resident arrays) estimate fits the kernel's VMEM
+    budget. ``live`` is calibrated per kernel from measured compile
+    boundaries (see ``_CHASE_LIVE``/``_FLOOD_LIVE``). For small volumes the
+    budget is reduced by the XLA-pinned operand/output estimate (see
+    ``_MSA_PIN_MAX``). Returns None when no candidate fits — callers fall
+    back to the XLA path (``pallas_resolve_supported`` applies the same
+    test, so the watershed dispatcher never sends such shapes here)."""
+    d, h, w = shape
+    padded = (d + 2 * halo) * (h + 2 * halo) * w * 4
+    if padded <= _MSA_PIN_MAX:
+        budget -= 2 * padded + d * h * w * 4
+    for bz, by in candidates:
+        if d % bz == 0 and h % by == 0 and (
+                (bz + 2 * halo) * (by + 2 * halo) * w * 4 * live <= budget):
+            return bz, by
+    return None
+
+
 # --------------------------------------------------------------------------
 # chase: pointer-chain resolution by direction codes
 # --------------------------------------------------------------------------
@@ -93,11 +139,13 @@ def _chase_kernel(iters, hz, hy, bz, by,
     cp_d.wait()
 
     d = dscr[:]
+    # direction-code masks are loop-invariant: hoist the 6 compares
+    dmasks = [d == c + 1 for c in range(len(NEIGHBORS_6))]
 
     def step(_, v):
         out = v
         for c, (axis, off) in enumerate(NEIGHBORS_6):
-            out = jnp.where(d == c + 1, _shift(v, axis, off, jnp.int32(0)), out)
+            out = jnp.where(dmasks[c], _shift(v, axis, off, jnp.int32(0)), out)
         return out
 
     v = lax.fori_loop(0, iters, step, vscr[:])
@@ -136,13 +184,21 @@ def chase_pass(values, dirs, iters: int = 8, block=(8, 16), interpret=False):
 
 
 def chase_resolve(values, dirs, fg_mask, iters_per_pass: int = 8,
-                  max_passes: int = 128, block=(8, 16), interpret=False):
+                  max_passes: int = 128, block=None, interpret=False):
     """Iterate ``chase_pass`` until every foreground voxel resolved (nonzero)
     or ``max_passes`` reached. Convergence is checked on zero-ness, not
     change: payloads are 0 along unresolved chains and flip exactly once to
     the root's (signed, nonzero) value, so "no zeros left" is the sound
     fixed-point test (change-based tests can stall in passes where no chain
-    happens to terminate)."""
+    happens to terminate). ``block=None`` auto-picks the largest VMEM-fitting
+    block (see ``auto_block``); results are block-independent."""
+    if block is None:
+        block = auto_block(values.shape, _round_up(iters_per_pass, 8),
+                           _CHASE_BLOCKS, live=_CHASE_LIVE)
+        if block is None:
+            raise ValueError(
+                f"no chase block fits shape {tuple(values.shape)} in VMEM; "
+                "guard with pallas_resolve_supported and use the XLA path")
 
     def cond(s):
         i, v, unresolved = s
@@ -187,15 +243,19 @@ def _flood_kernel(iters, hz, hy, bz, by, h, w,
     lin = (az * h + ay) * w + ax
     fg = pot > -jnp.inf
 
+    # the shifted potentials/indices are loop-invariant (only labels change):
+    # hoist the 12 shifts out of the step loop — 18 shifts/step become 6
+    nkeys = [_shift(pot, axis, off, -jnp.inf) for axis, off in NEIGHBORS_6]
+    nidxs = [_shift(lin, axis, off, jnp.int32(-1)) for axis, off in NEIGHBORS_6]
+
     def step(_, labels):
         best_key = jnp.full(labels.shape, -jnp.inf, jnp.float32)
         best_idx = jnp.full(labels.shape, -1, jnp.int32)
         best_lbl = jnp.zeros_like(labels)
-        for axis, off in NEIGHBORS_6:
+        for c, (axis, off) in enumerate(NEIGHBORS_6):
             nlbl = _shift(labels, axis, off, jnp.int32(0))
-            nkey = _shift(pot, axis, off, -jnp.inf)
-            nidx = _shift(lin, axis, off, jnp.int32(-1))
-            nkey = jnp.where(nlbl > 0, nkey, -jnp.inf)
+            nkey = jnp.where(nlbl > 0, nkeys[c], -jnp.inf)
+            nidx = nidxs[c]
             better = (nkey > best_key) | ((nkey == best_key) & (nidx > best_idx))
             best_key = jnp.where(better, nkey, best_key)
             best_idx = jnp.where(better, nidx, best_idx)
@@ -248,14 +308,23 @@ def flood_pass(potential, labels, iters: int = 8, block=(8, 8),
 
 
 def flood_resolve(seed_labels, fg_mask, potential, max_iters: int,
-                  iters_per_pass: int = 8, block=(8, 8), interpret=False):
+                  iters_per_pass: int = 8, block=None, interpret=False):
     """Seeded lockstep flood to (early-exiting) fixed point — elementwise
     equal to ``watershed.flood_labels(seed_labels, fg, potential, max_iters)``.
 
     Runs ceil(max_iters / iters_per_pass) Pallas passes plus a remainder pass
     so the CAPPED (unconverged) case executes exactly ``max_iters`` lockstep
     steps like the XLA version; early exit at the fixed point is identical by
-    idempotence."""
+    idempotence. ``block=None`` auto-picks (see ``auto_block``); lockstep
+    results are block-independent."""
+    if block is None:
+        block = auto_block(seed_labels.shape, _round_up(iters_per_pass, 8),
+                           _FLOOD_BLOCKS, live=_FLOOD_LIVE)
+        if block is None:
+            raise ValueError(
+                f"no flood block fits shape {tuple(seed_labels.shape)} in "
+                "VMEM; guard with pallas_resolve_supported and use the XLA "
+                "path")
     pot = jnp.where(fg_mask, potential.astype(jnp.float32), -jnp.inf)
     labels0 = jnp.where(fg_mask, seed_labels, 0).astype(jnp.int32)
     full, rem = divmod(max_iters, iters_per_pass)
@@ -287,9 +356,17 @@ def flood_resolve(seed_labels, fg_mask, potential, max_iters: int,
 # shape guard shared by the watershed dispatcher
 # --------------------------------------------------------------------------
 
-def pallas_resolve_supported(shape, block=(8, 16)) -> bool:
-    """Pallas kernels need block-divisible (D, H) and a nontrivial W lane
-    dim; callers fall back to the XLA path otherwise."""
+def pallas_resolve_supported(shape, block=None) -> bool:
+    """Pallas kernels need a block-divisible (D, H), a nontrivial 128-mult W
+    lane dim, AND a candidate block whose VMEM estimate fits (auto_block);
+    callers fall back to the XLA path otherwise. With an explicit ``block``
+    only divisibility is checked (the caller owns the VMEM trade)."""
     d, h, w = shape
-    bz, by = block
-    return d % bz == 0 and h % by == 0 and w >= 128 and w % 128 == 0
+    if w < 128 or w % 128 != 0:
+        return False
+    if block is not None:
+        bz, by = block
+        return d % bz == 0 and h % by == 0
+    return (auto_block(shape, 8, _CHASE_BLOCKS, live=_CHASE_LIVE) is not None
+            and auto_block(shape, 8, _FLOOD_BLOCKS, live=_FLOOD_LIVE)
+            is not None)
