@@ -22,7 +22,7 @@ from tpuseg.core.dtypes import resolve
 from tpuseg.data.normalize import histogram_percentile_scalars
 from tpuseg.infer.tiles import rf_radius_bound, tiled_forward
 from tpuseg.ops import watershed
-from tpuseg.ops.filter import max_seed_count, size_filter_and_compact_dense
+from tpuseg.ops.filter import size_filter_and_compact
 
 
 def _postprocess(fg_prob, peak_prob, cfg: Config):
@@ -35,9 +35,11 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         )
     else:
         fg_threshold = cfg.postproc.fg_threshold
-    # dense label space: instances numbered by NMS seed rank (same final
-    # numbering as index labels + compact_relabel), so the size filter's
-    # histogram table is max_seed_count-sized, not volume-sized
+    # index label space: the sort-based size filter works on ANY int32 label
+    # space and ranks kept instances ascending in label value, so root-index
+    # labels produce the SAME final 1..K numbering as dense NMS-rank labels
+    # (seed rank is ascending in linear index too) — without the full-volume
+    # cumsum the dense space needs to assign ranks
     labels = watershed(
         fg_prob,
         peak_prob,
@@ -49,11 +51,9 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         ascent_rounds=cfg.postproc.ascent_rounds,
         nms_impl=cfg.postproc.nms_impl,
         resolve_impl=cfg.postproc.resolve_impl,
-        label_space="dense",
+        label_space="index",
     )
-    return size_filter_and_compact_dense(
-        labels, cfg.postproc.min_size,
-        max_seed_count(fg_prob.shape, cfg.postproc.nms_radius))
+    return size_filter_and_compact(labels, cfg.postproc.min_size)
 
 
 def _make_infer_body(model, cfg: Config, normalize: bool):
