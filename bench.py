@@ -377,14 +377,19 @@ def main():
                                batch_size=cfg.data.batch_size,
                                max_instances=cfg.data.max_instances)
         rng = jax.random.key(1)
-        batch = sampler.next_batch()
+        batch = jax.device_put(sampler.next_batch())
         state, metrics = step_fn(state, batch, rng)   # compile
         _sync(metrics["loss"])
-        n_steps, t0 = 20, time.perf_counter()
-        for _ in range(n_steps):
-            state, metrics = step_fn(state, sampler.next_batch(), rng)
-        _sync(metrics["loss"])
-        dt = (time.perf_counter() - t0) / n_steps
+        # feed through the prefetcher exactly like train.loop: sampling AND
+        # the async H2D upload ride the worker thread under device compute
+        # (a synchronous feed serializes ~300 ms/step of tunnel upload here)
+        from tpuseg.data.prefetch import BatchPrefetcher
+        with BatchPrefetcher(sampler, put=jax.device_put, depth=2) as feed:
+            n_steps, t0 = 20, time.perf_counter()
+            for _ in range(n_steps):
+                state, metrics = step_fn(state, feed.next(), rng)
+            _sync(metrics["loss"])
+            dt = (time.perf_counter() - t0) / n_steps
         vox = cfg.data.batch_size * int(np.prod(cfg.data.patch_size))
         # train MFU (VERDICT r2 #7): fwd + bwd ~= 3x forward FLOPs
         train_flops = 3 * vox * unet_flops_per_voxel(tcfg.model)

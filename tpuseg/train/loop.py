@@ -72,7 +72,11 @@ def train(
     else:
         step_fn = jax.jit(make_train_step(model, cfg, grad_accum=cfg.train.grad_accum),
                           donate_argnums=(0,))
-        put = lambda b: b
+        # upload on the prefetch worker thread: device_put is async, so the
+        # H2D copy of batch N+1 rides under step N's compute instead of
+        # serializing at dispatch (measured: the synchronous feed cost
+        # ~300 ms/step at 8x64^3 on this host's tunnel vs a 173 ms step)
+        put = jax.device_put
 
     logger = MetricsLogger(log_path, echo=False)
     step_rng = jax.random.key(cfg.train.seed + 1)
