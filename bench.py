@@ -309,6 +309,11 @@ def main():
             "touch50_overlap": dict(touch_factor=0.5, noise=0.05),
             "touch70_gradient": dict(touch_factor=0.7, noise=0.05,
                                      gradient=0.3),
+            # anisotropic-PSF stress (VERDICT r2 missing #3): z compressed
+            # to 0.35x of the 0.6x the checkpoint was trained on — flat
+            # ellipsoids whose z-saddles are ~2 voxels wide
+            "touch65_aniso035": dict(touch_factor=0.65, noise=0.05,
+                                     anisotropy=(0.35, 1.0, 1.0)),
         }
         c5 = {}
         for name, kw in adversarial.items():
