@@ -116,3 +116,50 @@ def test_insufficient_halo_breaks_equality(model_and_vars):
         np.asarray(tiled["fg_logits"]), np.asarray(direct["fg_logits"][0]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_per_axis_halo_exactness(model_and_vars):
+    """Per-axis halo contract: a single-tile axis needs NO margin — halo
+    (0, HALO, HALO) with tile z spanning the volume equals the per-axis
+    edge-padded direct forward at every voxel."""
+    model, variables = model_and_vars
+    vol = jax.random.normal(jax.random.key(7), (16, 32, 32))
+    halos = (0, HALO, HALO)
+    padded = jnp.pad(vol, [(h, h) for h in halos], mode="edge")
+    out = model.apply(variables, padded[None, ..., None])
+    direct = {k: v[0, :, HALO:-HALO, HALO:-HALO] for k, v in out.items()}
+    tiled = tiled_forward(_apply(model), variables, vol,
+                          tile=(16, 16, 16), halo=halos)
+    for k in ("fg_logits", "peak_logits"):
+        np.testing.assert_allclose(
+            np.asarray(tiled[k]), np.asarray(direct[k]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_per_axis_halo_warning_only_on_split_axes():
+    """The pipeline's per-axis RF warning fires only for tiled axes whose
+    halo is below RF — the (0, big, big) exact config stays silent when z is
+    covered by one tile."""
+    import warnings
+
+    from tpuseg.core import Config, InferConfig, ModelConfig
+    from tpuseg.infer import make_infer_fn
+
+    mcfg = ModelConfig(features=(4, 8), num_groups=2, head_features=4,
+                       compute_dtype="float32")
+    model = build_model(mcfg)
+    variables = init_variables(model, jax.random.key(0),
+                               patch_shape=(16, 16, 16))
+    vol = jax.random.normal(jax.random.key(8), (16, 32, 32))
+
+    def warns_for(halo):
+        cfg = Config(infer=InferConfig(tile=(16, 16, 16), halo=halo,
+                                       compute_dtype="float32"))
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            make_infer_fn(model, cfg)(variables, vol)
+        return bool([w for w in rec if "receptive-field" in str(w.message)])
+
+    assert not warns_for((0, 12, 12))   # z single-tile, y/x >= RF(11): exact
+    assert warns_for((0, 4, 12))        # y is split with halo < RF
+    assert not warns_for((4, 12, 12))   # z halo small but z is single-tile

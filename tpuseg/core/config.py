@@ -103,7 +103,10 @@ class TrainConfig:
 @dataclass(frozen=True)
 class InferConfig:
     tile: Tuple[int, int, int] = (32, 128, 128)   # core (written-back) tile shape
-    halo: int = 16                                # context margin on each side
+    halo: Any = 16              # context margin per tile face: scalar, or a
+                                # per-axis (hd, hh, hw) tuple — axes covered
+                                # by a single tile need no margin (exactness
+                                # is per-axis; infer/tiles.py halo3)
     tile_batch: int = 1                           # tiles batched through the net
     compute_dtype: str = "bfloat16"
     apply_impl: str = "flax"    # eval forward: "flax" (model.apply) |

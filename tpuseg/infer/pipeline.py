@@ -64,16 +64,34 @@ def _make_infer_body(model, cfg: Config, normalize: bool):
     # must not trip a spurious warning (ADVICE r2)
     model_cfg = getattr(model, "config", None)
     features = getattr(model_cfg, "features", None)
-    if features is not None:
-        rf = rf_radius_bound(len(features))
-        if cfg.infer.halo < rf:
+    rf = rf_radius_bound(len(features)) if features is not None else None
+    per_axis_halo = isinstance(cfg.infer.halo, (tuple, list))
+    if rf is not None and not per_axis_halo and cfg.infer.halo < rf:
+        import warnings
+
+        warnings.warn(
+            f"InferConfig.halo={cfg.infer.halo} is below the {len(features)}"
+            f"-level model's receptive-field radius (~{rf}): tiled inference is "
+            f"border-approximate, not voxel-exact. Set infer.halo>={rf} for "
+            "exactness (slower).", stacklevel=3)
+
+    def _check_per_axis_halo(shape):
+        # per-axis halos: exactness needs halo >= RF only on axes the tile
+        # grid actually SPLITS — a single-tile axis has no seam, so any halo
+        # (including 0) is exact there (tiles.tiled_forward docstring). Shape
+        # is known here (trace time), so the check is precise per axis.
+        if rf is None or not per_axis_halo:
+            return
+        halos = tuple(cfg.infer.halo)
+        split = [-(-s // t) > 1 for s, t in zip(shape, cfg.infer.tile)]
+        bad = [("zyx"[a], halos[a]) for a in range(3) if split[a] and halos[a] < rf]
+        if bad:
             import warnings
 
             warnings.warn(
-                f"InferConfig.halo={cfg.infer.halo} is below the {len(features)}"
-                f"-level model's receptive-field radius (~{rf}): tiled inference is "
-                f"border-approximate, not voxel-exact. Set infer.halo>={rf} for "
-                "exactness (slower).", stacklevel=3)
+                f"InferConfig.halo={halos}: tiled axes {bad} have halo below "
+                f"the model's receptive-field radius (~{rf}): inference is "
+                "border-approximate on those seams.", stacklevel=3)
 
     if cfg.infer.apply_impl == "fused":
         from tpuseg.models.fused_eval import make_fused_apply
@@ -88,6 +106,7 @@ def _make_infer_body(model, cfg: Config, normalize: bool):
         raise ValueError(f"unknown apply_impl {cfg.infer.apply_impl!r}")
 
     def infer_one(variables, volume):
+        _check_per_axis_halo(volume.shape)
         vol = volume.astype(jnp.float32)
         if normalize:
             # scalars only; the normalization itself fuses into the tile
@@ -106,7 +125,7 @@ def _make_infer_body(model, cfg: Config, normalize: bool):
             variables,
             vol,
             tile=cfg.infer.tile,
-            halo=cfg.infer.halo,
+            halo=tuple(cfg.infer.halo) if per_axis_halo else cfg.infer.halo,
             tile_batch=cfg.infer.tile_batch,
             compute_dtype=compute_dtype,
             preprocess=preprocess,

@@ -41,6 +41,22 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def halo3(halo) -> Tuple[int, int, int]:
+    """Normalize a scalar-or-per-axis halo spec to a (hd, hh, hw) tuple.
+
+    Per-axis halos exist because halo cost is only *useful* on axes the tile
+    grid actually splits: an axis covered by a single tile needs no context
+    margin at all (its borders see the same edge-padding either way), yet a
+    scalar halo pays the margin on every axis. On the flagship 96x512x512
+    stack with tile (96, 256, 512), halo=8 computes (112, 272, 528) blocks —
+    the z/x margins are ~14% pure overcompute that halo=(0, 8, 8) removes.
+    """
+    if isinstance(halo, (tuple, list)):
+        hd, hh, hw = (int(h) for h in halo)
+        return hd, hh, hw
+    return int(halo), int(halo), int(halo)
+
+
 def rf_radius_bound(levels: int) -> int:
     """Analytic upper bound on the U-Net's receptive-field radius for a model
     with ``levels = len(features)`` encoder widths.
@@ -102,7 +118,7 @@ def tiled_forward(
     variables,
     volume: jnp.ndarray,           # (D, H, W) float, already normalized
     tile: Tuple[int, int, int] = (32, 128, 128),
-    halo: int = 16,
+    halo=16,                       # scalar or per-axis (hd, hh, hw)
     tile_batch: int = 1,
     compute_dtype=jnp.float32,
     preprocess=None,               # optional per-block fn applied after slicing
@@ -111,6 +127,13 @@ def tiled_forward(
 
     Returns {"fg_logits": (D,H,W) fp32, "peak_logits": (D,H,W) fp32}.
 
+    ``halo`` may be per-axis (see :func:`halo3`). The exactness contract is
+    per-axis: the sweep equals ``crop(net(edge_pad(volume, halo)))`` when on
+    EVERY axis either halo >= the net's receptive-field radius or the axis is
+    covered by a single tile (no seam to cross). A single-tile axis with
+    halo 0 keeps the net's own zero-SAME border there — the standard
+    whole-volume convention — at zero margin cost.
+
     ``preprocess`` (static): elementwise fn applied to each sliced block
     before the net — the fused pipeline normalizes here so the raw volume
     never takes an extra normalize round-trip through HBM. Elementwise ops
@@ -118,11 +141,12 @@ def tiled_forward(
     """
     D, H, W = volume.shape
     td, th, tw = tile
+    hd, hh, hw = halo3(halo)
     Dp, Hp, Wp = _cdiv(D, td) * td, _cdiv(H, th) * th, _cdiv(W, tw) * tw
 
     # pad: halo on the low side, halo + round-up on the high side (edge values
     # replicate, matching the reference's reflect/edge padding of border tiles)
-    pad = ((halo, halo + Dp - D), (halo, halo + Hp - H), (halo, halo + Wp - W))
+    pad = ((hd, hd + Dp - D), (hh, hh + Hp - H), (hw, hw + Wp - W))
     if preprocess is None:
         volume = volume.astype(compute_dtype)
     vol_pad = jnp.pad(volume, pad, mode="edge")
@@ -137,7 +161,7 @@ def tiled_forward(
         )
     origins = jnp.asarray(origins.reshape(nb, tile_batch, 3))
 
-    block = (td + 2 * halo, th + 2 * halo, tw + 2 * halo)
+    block = (td + 2 * hd, th + 2 * hh, tw + 2 * hw)
 
     # accumulate logits in the compute dtype: the sweep is HBM-bandwidth
     # bound, so fp32 accumulators would double the writeback traffic for no
@@ -154,8 +178,8 @@ def tiled_forward(
         if preprocess is not None:
             blocks = preprocess(blocks).astype(compute_dtype)
         out = apply_fn(variables, blocks)
-        fg = out["fg_logits"][:, halo : halo + td, halo : halo + th, halo : halo + tw]
-        pk = out["peak_logits"][:, halo : halo + td, halo : halo + th, halo : halo + tw]
+        fg = out["fg_logits"][:, hd : hd + td, hh : hh + th, hw : hw + tw]
+        pk = out["peak_logits"][:, hd : hd + td, hh : hh + th, hw : hw + tw]
 
         def write(i, accs):
             fa, pa = accs
