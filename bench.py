@@ -377,9 +377,10 @@ def main():
                     postproc=dataclasses.replace(
                         c3.postproc, fg_target_fraction=frac_h))
                 infh = make_infer_fn(model, ch)
-                labs[vname] = np.asarray(_sync(infh(trained, jnp.asarray(fv))))
-                th_ = _median_time(
-                    lambda: _sync(infh(trained, jnp.asarray(fv))))
+                fv_dev = jnp.asarray(fv)   # upload once: time the program,
+                labs[vname] = np.asarray(_sync(infh(trained, fv_dev)))
+                th_ = _median_time(          # not the host tunnel
+                    lambda: _sync(infh(trained, fv_dev)))
                 mh = instance_metrics(labs[vname], gt, iou_threshold=0.5)
                 row[f"f1_iou50_{vname}"] = round(mh["f1"], 4)
                 row[f"t_e2e_s_{vname}"] = round(th_, 4)

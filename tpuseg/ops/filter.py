@@ -30,7 +30,11 @@ def _sort_filter_compact(labels: jnp.ndarray, min_size: int) -> jnp.ndarray:
     flat = labels.ravel()
     n = flat.shape[0]
     pos = lax.iota(jnp.int32, n)
-    sl, sp = lax.sort((flat, pos), num_keys=1)
+    # is_stable=False (lax.sort defaults to stable; measured 26% faster on
+    # v5e at 25M keys): correctness is stability-free — ``val`` below is
+    # constant within each equal-label run, so permuting (sp) within a run
+    # permutes identical values, and the second sort's keys (sp) are unique
+    sl, sp = lax.sort((flat, pos), num_keys=1, is_stable=False)
     idx = lax.iota(jnp.int32, n)
     prev = jnp.concatenate([jnp.full((1,), -1, sl.dtype), sl[:-1]])
     newrun = sl != prev
@@ -41,7 +45,7 @@ def _sort_filter_compact(labels: jnp.ndarray, min_size: int) -> jnp.ndarray:
     keep = (sl > 0) & ((run_end - run_start) >= min_size)
     rank = jnp.cumsum((newrun & keep).astype(jnp.int32))
     val = jnp.where(keep, rank, 0)
-    _, out = lax.sort((sp, val), num_keys=1)
+    _, out = lax.sort((sp, val), num_keys=1, is_stable=False)
     return out.reshape(labels.shape).astype(labels.dtype)
 
 
