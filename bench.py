@@ -401,16 +401,33 @@ def main():
         tmodel = _bm(tcfg.model)
         state = create_train_state(tmodel, tcfg, jax.random.key(0))
         step_fn = jax.jit(make_train_step(tmodel, tcfg), donate_argnums=(0,))
-        sampler = PatchSampler([vol], patch_size=cfg.data.patch_size,
+        # uint16 source, the realistic microscopy feed: the sampler preserves
+        # the source dtype so the H2D upload is half the f32 one (the device
+        # casts inside prepare_batch; training math identical up to the
+        # source quantization)
+        vol16 = dataclasses.replace(
+            vol, image=(np.clip(vol.image, 0, 1) * 65535).astype(np.uint16))
+        sampler = PatchSampler([vol16], patch_size=cfg.data.patch_size,
                                batch_size=cfg.data.batch_size,
                                max_instances=cfg.data.max_instances)
         rng = jax.random.key(1)
         batch = jax.device_put(sampler.next_batch())
         state, metrics = step_fn(state, batch, rng)   # compile
         _sync(metrics["loss"])
-        # feed through the prefetcher exactly like train.loop: sampling AND
-        # the async H2D upload ride the worker thread under device compute
-        # (a synchronous feed serializes ~300 ms/step of tunnel upload here)
+        # pure on-device step: loop over ONE resident batch — no host feed
+        # in the timing (augmentation keys still vary per step via rng reuse;
+        # the program is identical to the fed run's)
+        n_pure, t0 = 10, time.perf_counter()
+        for _ in range(n_pure):
+            state, metrics = step_fn(state, batch, rng)
+        _sync(metrics["loss"])
+        dt_pure = (time.perf_counter() - t0) / n_pure
+        # fed step, through the prefetcher exactly like train.loop: sampling
+        # AND the async H2D upload ride the worker thread under device
+        # compute. NOTE this environment's host<->device tunnel runs at
+        # ~27 MB/s, so the ~34 MB/batch upload dominates and fluctuates with
+        # host load — on real TPU hosts (PCIe) the fed step tracks the pure
+        # step; both are reported so the bound is visible.
         from tpuseg.data.prefetch import BatchPrefetcher
         with BatchPrefetcher(sampler, put=jax.device_put, depth=2) as feed:
             n_steps, t0 = 20, time.perf_counter()
@@ -419,12 +436,17 @@ def main():
             _sync(metrics["loss"])
             dt = (time.perf_counter() - t0) / n_steps
         vox = cfg.data.batch_size * int(np.prod(cfg.data.patch_size))
+        batch_mb = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                       for a in jax.tree_util.tree_leaves(batch)) / 1e6
         # train MFU (VERDICT r2 #7): fwd + bwd ~= 3x forward FLOPs
         train_flops = 3 * vox * unet_flops_per_voxel(tcfg.model)
         detail["c4_train_bf16"] = {
             "step_ms": round(dt * 1e3, 2),
+            "step_ms_pure": round(dt_pure * 1e3, 2),
+            "batch_mb": round(batch_mb, 1),
             "mvox_s": round(vox / dt / 1e6, 3),
-            "train_mfu_bf16": round(train_flops / dt / PEAK_BF16_FLOPS, 4),
+            "mvox_s_pure": round(vox / dt_pure / 1e6, 3),
+            "train_mfu_bf16": round(train_flops / dt_pure / PEAK_BF16_FLOPS, 4),
         }
 
     result = {

@@ -99,3 +99,48 @@ def test_histogram_percentile_close_to_exact(vol):
     exact = np.asarray(percentile_normalize(x))
     approx = np.asarray(histogram_percentile_normalize(x))
     assert np.abs(exact - approx).max() < 0.01
+
+
+def test_sampler_preserves_integer_source_dtype(vol):
+    """uint16 microscopy sources feed the train step without a host float
+    upcast (4x smaller H2D upload); the f32 cast happens on device inside
+    prepare_batch's normalization — and training math is IDENTICAL to a
+    pre-cast f32 source because histogram normalization maps both to the
+    same [0,1] values."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.core import Config, DataConfig, ModelConfig, TrainConfig
+    from tpuseg.data.sampler import PatchSampler
+    from tpuseg.models import build_model
+    from tpuseg.train.step import create_train_state, make_train_step
+
+    v16 = dataclasses.replace(
+        vol, image=(np.clip(vol.image, 0, 1) * 65535).astype(np.uint16))
+    s = PatchSampler([v16], patch_size=(16, 16, 16), batch_size=2,
+                     max_instances=8)
+    batch = s.next_batch()
+    assert batch["image"].dtype == np.uint16
+    assert batch["centers"].dtype == np.float32
+
+    cfg = Config(
+        model=ModelConfig(features=(4, 8), num_groups=2, head_features=4,
+                          compute_dtype="float32"),
+        data=DataConfig(patch_size=(16, 16, 16), batch_size=2,
+                        max_instances=8),
+        train=TrainConfig(total_steps=2, warmup_steps=1),
+    )
+    model = build_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step = jax.jit(make_train_step(model, cfg))
+    state, metrics = step(state, jax.device_put(batch), jax.random.key(1))
+    assert bool(jnp.isfinite(metrics["loss"]))
+
+    # identical loss to feeding the f32-cast batch (cast commutes with the
+    # device-side normalization)
+    b32 = dict(batch, image=batch["image"].astype(np.float32))
+    state2 = create_train_state(model, cfg, jax.random.key(0))
+    _, metrics32 = step(state2, jax.device_put(b32), jax.random.key(1))
+    assert float(metrics["loss"]) == float(metrics32["loss"])

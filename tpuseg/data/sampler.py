@@ -23,7 +23,10 @@ class PatchSampler:
     """Random instance-centered 3D crops with padded weak annotations.
 
     Yields dict batches:
-      image:      (B, D, H, W) float32
+      image:      (B, D, H, W) in the SOURCE dtype (uint8/uint16 microscopy
+                  stays integer: the feed upload is 2-4x smaller and the
+                  f32 cast happens on device in train.step.prepare_batch,
+                  same dtype-preservation contract as infer/streaming.py)
       centers:    (B, M, 3)    float32 — patch-relative instance centers
       half_sizes: (B, M, 3)    float32
       valid:      (B, M)       bool
@@ -91,12 +94,16 @@ class PatchSampler:
         )
         self.step += 1
         items = [self._sample_patch(rng) for _ in range(self.batch_size)]
-        return {
-            k: np.stack([it[k] for it in items]).astype(
-                np.float32 if k != "valid" else bool
-            )
-            for k in items[0]
-        }
+
+        def stack(k):
+            out = np.stack([it[k] for it in items])
+            # image keeps the SOURCE dtype (cast to f32 on device, see class
+            # docstring); annotations normalize to f32, valid stays bool
+            if k in ("image", "valid"):
+                return out
+            return out.astype(np.float32)
+
+        return {k: stack(k) for k in items[0]}
 
     def __iter__(self):
         while True:
