@@ -144,3 +144,26 @@ def test_sampler_preserves_integer_source_dtype(vol):
     state2 = create_train_state(model, cfg, jax.random.key(0))
     _, metrics32 = step(state2, jax.device_put(b32), jax.random.key(1))
     assert float(metrics["loss"]) == float(metrics32["loss"])
+
+
+def test_bin_counts_matches_scatter_exactly():
+    """ops.histogram.bin_counts (sort-based) must equal the scatter-add
+    histogram bin-for-bin — every normalization/calibration parity contract
+    rides on this equivalence."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops.histogram import bin_counts
+
+    rng = np.random.default_rng(11)
+    for bins, n in [(16, 0), (16, 1), (64, 1000), (4096, 50_000)]:
+        idx = rng.integers(0, bins, size=n).astype(np.int32)
+        got = np.asarray(bin_counts(jnp.asarray(idx), bins))
+        ref = np.bincount(idx, minlength=bins).astype(np.int32)
+        np.testing.assert_array_equal(got, ref)
+        assert got.dtype == np.int32
+
+    # degenerate: every value in one bin (incl. the edge bins)
+    for b in (0, 7, 15):
+        idx = np.full((257,), b, np.int32)
+        got = np.asarray(bin_counts(jnp.asarray(idx), 16))
+        assert got[b] == 257 and got.sum() == 257

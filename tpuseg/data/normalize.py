@@ -44,13 +44,15 @@ def histogram_percentile_scalars(vol, pcts=(1.0, 99.8), bins: int = 4096,
     """The (p_lo, p_hi) percentile scalars of ``histogram_percentile_normalize``
     without applying them — the fused pipeline normalizes per tile block
     inside the net sweep instead of taking an extra full-volume round trip."""
+    from tpuseg.ops.histogram import bin_counts
+
     vol = jnp.asarray(vol, jnp.float32)
     lo = jnp.min(vol)
     hi = jnp.max(vol)
     span = jnp.maximum(hi - lo, 1e-12)
     sample = vol[..., ::sample_stride] if sample_stride > 1 else vol
     idx = jnp.clip(((sample - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
-    hist = jnp.zeros((bins,), jnp.int32).at[idx.ravel()].add(1)
+    hist = bin_counts(idx, bins)  # sort-based: ~10x the scatter's speed
     # fraction-form CDF: the identical arithmetic to the psum'd sharded
     # version (infer/sharded.global_histogram_percentile with 1 shard), so
     # sharded-vs-single parity tests see the same percentile bin

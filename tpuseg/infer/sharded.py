@@ -43,6 +43,7 @@ from tpuseg.core.dtypes import resolve
 from tpuseg.infer.tiles import tiled_forward
 from tpuseg.ops import watershed
 from tpuseg.parallel.halo import exchange_halo
+from tpuseg.ops.histogram import bin_counts
 from tpuseg.parallel.reconcile import (
     boundary_edges,
     build_local_table,
@@ -165,7 +166,7 @@ def global_histogram_percentile(slab, pcts, axis, bins: int = 4096,
     # voxel set as the single-device path (data.normalize.histogram_...)
     sample = slab[..., ::sample_stride] if sample_stride > 1 else slab
     idx = jnp.clip(((sample - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
-    hist = jnp.zeros((bins,), jnp.int32).at[idx.ravel()].add(1)
+    hist = bin_counts(idx, bins)
     # sample.size is static and equal across shards -> global size is static
     n_global = sample.size * lax.psum(1, axis)
     frac = lax.psum(hist.astype(jnp.float32) / n_global, axis)
@@ -270,7 +271,7 @@ def make_sharded_infer_fn(
             if stride > 1:
                 fg_core = fg_core[..., ::stride]
             hidx = jnp.clip((fg_core * bins).astype(jnp.int32), 0, bins - 1)
-            hist = jnp.zeros((bins,), jnp.int32).at[hidx.ravel()].add(1)
+            hist = bin_counts(hidx, bins)
             n_global = fg_core.size * lax.psum(1, axes)
             frac = lax.psum(hist.astype(jnp.float32) / n_global, axes)
             tail = jnp.cumsum(frac[::-1])[::-1]

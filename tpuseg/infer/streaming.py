@@ -46,6 +46,7 @@ import numpy as np
 
 from tpuseg.core import Config
 from tpuseg.core.dtypes import resolve
+from tpuseg.ops.histogram import bin_counts
 from tpuseg.infer.tiles import tiled_forward
 from tpuseg.ops import watershed
 
@@ -112,7 +113,7 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
         if stride > 1:  # same x-stride sample as ops.calibrate / sharded
             core = core[..., ::stride]
         idx = jnp.clip((core * calib_bins).astype(jnp.int32), 0, calib_bins - 1)
-        hist = jnp.zeros((calib_bins,), jnp.int32).at[idx.ravel()].add(1)
+        hist = bin_counts(idx, calib_bins)
         # fake planes inside the core window (short last chunk) land in bin 0
         # as prob 0.0 — the caller subtracts them from bin 0
         return hist
@@ -211,7 +212,7 @@ def _make_sharded_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
         if stride > 1:
             core = core[..., ::stride]
         idx = jnp.clip((core * calib_bins).astype(jnp.int32), 0, calib_bins - 1)
-        hist = jnp.zeros((calib_bins,), jnp.int32).at[idx.ravel()].add(1)
+        hist = bin_counts(idx, calib_bins)
         return lax.psum(hist, axis)
 
     def chunk_body(variables, slab, lo, hi, mask_top, mask_bot, fg_thr):

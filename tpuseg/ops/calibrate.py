@@ -38,7 +38,9 @@ def threshold_for_fraction(prob: jnp.ndarray, fraction, bins: int = 4096,
     # larger would not fit HBM); the comparison uses fp32 FRACTIONS, the same
     # arithmetic as the sharded path's psum'd version (infer/sharded.py), so
     # single-device and sharded calibration pick the same bin.
-    hist = jnp.zeros((bins,), jnp.int32).at[idx.ravel()].add(1)
+    from tpuseg.ops.histogram import bin_counts
+
+    hist = bin_counts(idx, bins)
     # survival fraction: share of voxels with prob >= bin edge
     tail = jnp.cumsum(hist[::-1])[::-1].astype(jnp.float32) / prob.size
     ok = tail >= fraction

@@ -1,0 +1,36 @@
+"""Bounded-bin histogram as a sort instead of a scatter.
+
+Every normalization/calibration stage needs ``counts[b] = #{i : idx[i]==b}``
+for a few thousand bins. XLA lowers the natural ``zeros(bins).at[idx].add(1)``
+to serialized random scatter-adds, which run at ~125 M elem/s on TPU
+(measured r2) — 167 ms on the 25 MVox stack. ``lax.sort`` streams the same
+data in ~20 ms, and the per-bin counts then fall out of a vectorized binary
+search for the bin edges (``searchsorted``: log2(N) rounds of a (bins+1)-wide
+gather — microseconds). The counts are integer-exact and IDENTICAL to the
+scatter's, so every cross-path parity contract (fused / sharded-psum /
+streamed calibration agree bin-for-bin) is preserved no matter which impl a
+path uses.
+
+Measured (v5e, 4096 bins, ~30 ms fixed dispatch overhead subtracted):
+
+    n        scatter   sort
+    262k     ~5 ms     ~2 ms
+    6.3M     ~42 ms    ~4 ms
+    25.2M    ~167 ms   ~20 ms
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def bin_counts(idx: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """int32 histogram of ``idx`` (values assumed pre-clipped to [0, bins)).
+
+    Sort-based: see module docstring. Equal to
+    ``jnp.zeros((bins,), jnp.int32).at[idx.ravel()].add(1)`` exactly.
+    """
+    s = lax.sort(idx.ravel(), is_stable=False)
+    edges = jnp.searchsorted(s, jnp.arange(bins + 1, dtype=s.dtype))
+    return (edges[1:] - edges[:-1]).astype(jnp.int32)
