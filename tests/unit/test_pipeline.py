@@ -63,6 +63,55 @@ def test_batched_infer_matches_individual():
     np.testing.assert_array_equal(got, want)
 
 
+def test_staged_program_matches_fused():
+    """InferConfig.program="staged" (two chained XLA programs, device-resident
+    bf16-logits handoff) must be elementwise-identical to the one-program
+    "fused" pipeline — single-volume AND batched. The stage boundary sits at
+    exactly the same materialization point (the sweep's logit accumulators),
+    so no value changes, only buffer lifetimes (the flagship whole-volume
+    single-tile config only fits HBM staged)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpuseg.data import synthesize_volume
+    from tpuseg.infer import make_batched_infer_fn
+
+    cfg = Config(
+        model=ModelConfig(features=(4, 8), num_groups=2, head_features=4,
+                          compute_dtype="float32"),
+        infer=InferConfig(tile=(16, 16, 16), halo=8, compute_dtype="float32"),
+        postproc=PostprocConfig(min_size=5, flood_iters=12),
+    )
+    cfg_staged = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, program="staged"))
+    model = build_model(cfg.model)
+    variables = init_variables(model, jax.random.key(0),
+                               patch_shape=(16, 16, 16))
+    vols = np.stack([
+        synthesize_volume(shape=(24, 32, 32), num_instances=4,
+                          seed=s).image * (1.0 + s)
+        for s in range(2)
+    ])
+    want = np.asarray(make_infer_fn(model, cfg)(variables, jnp.asarray(vols[0])))
+    got = np.asarray(
+        make_infer_fn(model, cfg_staged)(variables, jnp.asarray(vols[0])))
+    np.testing.assert_array_equal(got, want)
+
+    want_b = np.asarray(make_batched_infer_fn(model, cfg)(
+        variables, jnp.asarray(vols)))
+    got_b = np.asarray(make_batched_infer_fn(model, cfg_staged)(
+        variables, jnp.asarray(vols)))
+    np.testing.assert_array_equal(got_b, want_b)
+
+    import pytest
+
+    bad = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, program="nope"))
+    with pytest.raises(ValueError, match="program"):
+        make_infer_fn(model, bad)
+
+
 def test_rf_warning_gates_on_supplied_model():
     """ADVICE r2: the halo<RF warning derives the receptive field from the
     model actually passed, so RF-free stand-ins don't trip it."""

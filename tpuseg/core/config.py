@@ -113,6 +113,12 @@ class InferConfig:
                                 # "fused" (Pallas fused full-res ConvBlocks,
                                 # models/fused_eval.py — same function up to
                                 # bf16 reassociation, no layout taxes)
+    program: str = "fused"      # XLA program structure (infer/pipeline.py):
+                                # "fused" = normalize->net->post as ONE
+                                # program; "staged" = net | post as two
+                                # chained programs (identical values, device-
+                                # resident handoff; halves peak HBM so a
+                                # whole-volume single tile fits)
     spatial_axes: Tuple[str, ...] = ("z",)        # mesh axes for sharded inference
     shard_halo: int = 32        # post-proc halo planes exchanged between shards;
                                 # sharding is communication-free-exact for

@@ -105,7 +105,7 @@ def _make_infer_body(model, cfg: Config, normalize: bool):
     else:
         raise ValueError(f"unknown apply_impl {cfg.infer.apply_impl!r}")
 
-    def infer_one(variables, volume):
+    def stage_net(variables, volume):
         _check_per_axis_halo(volume.shape)
         vol = volume.astype(jnp.float32)
         if normalize:
@@ -120,7 +120,7 @@ def _make_infer_body(model, cfg: Config, normalize: bool):
                 return jnp.clip((b - p_lo) / span, 0.0, 1.0)
         else:
             preprocess = None
-        out = tiled_forward(
+        return tiled_forward(
             apply_fn,
             variables,
             vol,
@@ -130,11 +130,16 @@ def _make_infer_body(model, cfg: Config, normalize: bool):
             compute_dtype=compute_dtype,
             preprocess=preprocess,
         )
+
+    def stage_post(out):
         fg_prob = jax.nn.sigmoid(out["fg_logits"])
         peak_prob = jax.nn.sigmoid(out["peak_logits"])
         return _postprocess(fg_prob, peak_prob, cfg)
 
-    return infer_one
+    def infer_one(variables, volume):
+        return stage_post(stage_net(variables, volume))
+
+    return infer_one, stage_net, stage_post
 
 
 def make_infer_fn(model, cfg: Config, normalize: bool = True):
@@ -142,12 +147,40 @@ def make_infer_fn(model, cfg: Config, normalize: bool = True):
 
     Voxel-exactness note: tiled inference reproduces the whole-volume forward
     exactly only when ``cfg.infer.halo`` >= the net's receptive-field radius
-    (tiles.rf_radius_bound; ~53 for the default 4-level model). The default
-    halo deliberately trades the tail of the receptive field — whose
-    trained-net influence decays to numerical noise well inside the analytic
-    bound — for much less overcompute; a warning is emitted so the trade is
-    visible (ADVICE r1)."""
-    return jax.jit(_make_infer_body(model, cfg, normalize))
+    (tiles.rf_radius_bound; ~53 for the default 4-level model) on every axis
+    the tile grid splits. A single-tile axis needs no halo at all — a tile
+    covering the WHOLE volume (with halo 0) is voxel-exact by construction
+    and is the flagship bench configuration. Where memory forces a real tile
+    grid, the default halo deliberately trades the tail of the receptive
+    field — whose trained-net influence decays to numerical noise well
+    inside the analytic bound — for much less overcompute; a warning is
+    emitted so the trade is visible (ADVICE r1).
+
+    ``cfg.infer.program`` selects the XLA program structure; both variants
+    are elementwise-identical and keep every intermediate on device:
+
+    * ``"fused"`` (default): normalize -> sweep -> post-proc as ONE program.
+    * ``"staged"``: two programs (sweep | post-proc) chained through
+      device-resident bf16 logits. XLA assigns buffers per program, so peak
+      HBM is max(stage peaks) instead of one program's joint peak — the
+      whole-volume single-tile sweep at the flagship 96x512x512 stack only
+      fits this way (the joint program exceeds HBM by ~0.8 GB). Costs one
+      extra dispatch (~1 ms); no host transfer either way.
+    """
+    infer_one, stage_net, stage_post = _make_infer_body(model, cfg, normalize)
+    if cfg.infer.program == "staged":
+        # no donate_argnums: the post stage's outputs are int32 labels, which
+        # never shape/dtype-match the bf16 logits, so donation only warns
+        net_jit = jax.jit(stage_net)
+        post_jit = jax.jit(stage_post)
+
+        def staged(variables, volume):
+            return post_jit(net_jit(variables, volume))
+
+        return staged
+    if cfg.infer.program != "fused":
+        raise ValueError(f"unknown InferConfig.program {cfg.infer.program!r}")
+    return jax.jit(infer_one)
 
 
 def make_batched_infer_fn(model, cfg: Config, normalize: bool = True):
@@ -158,7 +191,18 @@ def make_batched_infer_fn(model, cfg: Config, normalize: bool = True):
     is normalized with its own percentiles and labeled independently, with
     zero host synchronization between volumes (results stay device-resident
     until the caller fetches them)."""
-    body = _make_infer_body(model, cfg, normalize)
+    body, stage_net, stage_post = _make_infer_body(model, cfg, normalize)
+
+    if cfg.infer.program == "staged":
+        net_jit = jax.jit(
+            lambda variables, volumes: jax.lax.map(
+                lambda v: stage_net(variables, v), volumes))
+        post_jit = jax.jit(lambda outs: jax.lax.map(stage_post, outs))
+
+        def staged_batch(variables, volumes):
+            return post_jit(net_jit(variables, volumes))
+
+        return staged_batch
 
     @jax.jit
     def infer_batch(variables, volumes):
