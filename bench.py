@@ -95,34 +95,34 @@ def get_cpu_baseline(path, variables=None, tag="untrained") -> dict:
     return res
 
 
-def make_cfg(compute_dtype="bfloat16", tile=(96, 256, 512), tile_batch=1,
-             **post):
+def make_cfg(compute_dtype="bfloat16", tile=(96, 512, 512), halo=(0, 0, 0),
+             tile_batch=1, conv_impl="auto", program="staged", **post):
     from tpuseg.core import Config, InferConfig, ModelConfig, PostprocConfig
 
-    # On-chip sweeps (r2, revised late r3 — ARCHITECTURE.md "layout
-    # waterbed"):
-    # * tile: (96,256,512) zdecomp sweeps 607 ms vs 626 at (96,256,256) and
-    #   beats (48,256,256) tb=2; (96,512,512) still fails TPU compile.
-    # * conv_impl: all decomposed schedules land within ~3% at this tile
-    #   (layout-equilibrated); zdecomp is the measured winner (whole-net
-    #   0.625 s vs zpack 0.645 at 256²; 176.4 vs 180.6 ms single tile),
-    #   native is 277 ms/tile. Schedule choice is shape-dependent, so the
-    #   library default stays "native" and the flagship bench pins the
-    #   measured winner.
-    # * halo 8 vs 16: instance F1 1.0000 and mean matched IoU 0.867 are
-    #   IDENTICAL on the trained eval stack while e2e drops 4.1 -> 3.1 s;
-    #   the halo<RF warning documents the border approximation.
-    # * halo (0, 8, 0) per-axis (late r3): z and x are covered by a single
-    #   tile at this shape, so their margins were pure overcompute — measured
-    #   27.1 (scalar 8, block 112x272x528) -> 28.8 ((0,8,8)) -> 29.5 Mvox/s
-    #   ((0,8,0): block 96x272x512, W back to a clean 4x128 lanes). Exactness
-    #   anchor: tile (96,512,256) + halo (0,0,56) (halo >= RF on the ONLY
-    #   split axis) is voxel-EXACT at 24.2 Mvox/s — within ~20% of this
-    #   approximate config (bench c6 "exact").
+    # Flagship pin (late r3, ARCHITECTURE.md "layout waterbed" + "single-tile
+    # flagship"). The whole volume as ONE tile with NO halo — voxel-exact by
+    # construction (no seams) — beats every tiled config:
+    # * net sweep (96,512,512)x1: auto 405 ms / zdecomp 489 vs the r3-era
+    #   2-tile (96,256,512)+(0,8,0) zdecomp at 523 ms. The waterbed moves
+    #   with shape: at the old tile all schedules sat within ~3%; at the
+    #   full volume "auto" (s2patch downs + parity ups + zdecomp 3x3x3)
+    #   wins by 17%.
+    # * the single tile only FITS as program="staged" (net | post as two
+    #   chained programs, device-resident handoff): the joint program's
+    #   buffer assignment exceeds HBM by ~0.8 GB.
+    # * weights must be BOUND (make_infer_fn(bind_variables=...)): the auto
+    #   sweep with weights as runtime parameters crashes the XLA-TPU AOT
+    #   compiler at this shape (zdecomp compiles either way); bound, the
+    #   weight-side repacks fold at compile time. e2e 637 ms = 39.5 Mvox/s
+    #   vs 767 ms = 32.8 for the r3-era tiled config (same program content,
+    #   74.5k instances either way).
+    # * historical tiled-config numbers (kept for c6, which still measures
+    #   them): halo 8 vs 16 F1-identical, (0,8,0) per-axis at 29.5 Mvox/s,
+    #   edge-pad-exact anchor (96,512,256)+(0,0,56) at 24.2 Mvox/s.
     return Config(
-        model=ModelConfig(conv_impl="zdecomp"),
-        infer=InferConfig(tile=tile, halo=(0, 8, 0), tile_batch=tile_batch,
-                          compute_dtype=compute_dtype),
+        model=ModelConfig(conv_impl=conv_impl),
+        infer=InferConfig(tile=tile, halo=halo, tile_batch=tile_batch,
+                          compute_dtype=compute_dtype, program=program),
         postproc=PostprocConfig(**post),
     )
 
@@ -211,15 +211,17 @@ def main():
     }
 
     # ---- headline: untrained bf16 fused stack (r01-comparable) ----
-    infer = make_infer_fn(model, cfg)
-    labels = _sync(infer(variables0, v))  # compile + warmup
+    # bound weights + staged program: see make_cfg comment — same computation
+    # as r1/r2's one-program call, still zero host round-trips
+    infer = make_infer_fn(model, cfg, bind_variables=variables0)
+    labels = _sync(infer(v))  # compile + warmup
     trace_dir = os.environ.get("TPUSEG_TRACE")
     if trace_dir:  # Perfetto trace of one headline run (utils/profiling.py)
         from tpuseg.utils.profiling import trace
 
         with trace(trace_dir):
-            _sync(infer(variables0, v))
-    t_e2e = _median_time(lambda: _sync(infer(variables0, v)))
+            _sync(infer(v))
+    t_e2e = _median_time(lambda: _sync(infer(v)))
     mvox_s = v.size / t_e2e / 1e6
     detail["t_e2e_s"] = round(t_e2e, 4)
     detail["n_instances"] = int(np.asarray(labels).max())
@@ -234,15 +236,17 @@ def main():
         nv = _sync(norm_fn(v))
         t_norm = _median_time(lambda: _sync(norm_fn(v)))
 
-        def net_fn(variables, nv):
-            return tiled_forward(lambda q, b: model.apply(q, b), variables, nv,
+        def net_fn(nv):
+            # variables0 closed over = bound, matching the headline program
+            return tiled_forward(lambda q, b: model.apply(q, b), variables0,
+                                 nv,
                                  tile=cfg.infer.tile, halo=cfg.infer.halo,
                                  tile_batch=cfg.infer.tile_batch,
                                  compute_dtype=resolve(cfg.infer.compute_dtype))
         net_jit = jax.jit(net_fn)
-        out = net_jit(variables0, nv)
+        out = net_jit(nv)
         _sync(out["fg_logits"])
-        t_net = _median_time(lambda: _sync(net_jit(variables0, nv)["fg_logits"]))
+        t_net = _median_time(lambda: _sync(net_jit(nv)["fg_logits"]))
 
         post_jit = jax.jit(lambda fg, pk: _postprocess(
             jax.nn.sigmoid(fg), jax.nn.sigmoid(pk), cfg))
@@ -268,17 +272,19 @@ def main():
         # ---- config 1: single 64^3 patch, fp32, e2e ----
         c1 = make_cfg("float32", tile=(64, 64, 64), min_size=8)
         p = jnp.asarray(vol.image[:64, :64, :64])
-        inf1 = make_infer_fn(build_model(c1.model), c1)
-        _sync(inf1(variables0, p))
-        t1 = _median_time(lambda: _sync(inf1(variables0, p)), reps=5)
+        inf1 = make_infer_fn(build_model(c1.model), c1,
+                             bind_variables=variables0)
+        _sync(inf1(p))
+        t1 = _median_time(lambda: _sync(inf1(p)), reps=5)
         detail["c1_patch64_fp32"] = {
             "t_e2e_s": round(t1, 4), "mvox_s": round(p.size / t1 / 1e6, 3)}
 
         # ---- config 2: full stack, fp32 tiled ----
         c2 = make_cfg("float32")
-        inf2 = make_infer_fn(build_model(c2.model), c2)
-        _sync(inf2(variables0, v))
-        t2 = _median_time(lambda: _sync(inf2(variables0, v)))
+        inf2 = make_infer_fn(build_model(c2.model), c2,
+                             bind_variables=variables0)
+        _sync(inf2(v))
+        t2 = _median_time(lambda: _sync(inf2(v)))
         detail["c2_stack_fp32_tiled"] = {
             "t_e2e_s": round(t2, 4), "mvox_s": round(v.size / t2 / 1e6, 3)}
 
@@ -290,9 +296,9 @@ def main():
         frac = expected_fg_fraction(vol.half_sizes, vol.image.size)
         c3 = dataclasses.replace(cfg, postproc=dataclasses.replace(
             cfg.postproc, fg_target_fraction=frac, peak_threshold=0.35))
-        inf3 = make_infer_fn(model, c3)
-        lab3 = _sync(inf3(trained, v))
-        t3 = _median_time(lambda: _sync(inf3(trained, v)))
+        inf3 = make_infer_fn(model, c3, bind_variables=trained)
+        lab3 = _sync(inf3(v))
+        t3 = _median_time(lambda: _sync(inf3(v)))
         m = instance_metrics(np.asarray(lab3), vol.labels, iou_threshold=0.5)
         cpu_tr = get_cpu_baseline(CPU_TRAINED_PATH, variables=trained,
                                   tag="trained")
@@ -333,8 +339,8 @@ def main():
             frac_a = expected_fg_fraction(tv.half_sizes, tv.image.size)
             c5cfg = dataclasses.replace(c3, postproc=dataclasses.replace(
                 c3.postproc, fg_target_fraction=frac_a))
-            inf5 = make_infer_fn(model, c5cfg)
-            lab5 = np.asarray(_sync(inf5(trained, jnp.asarray(tv.image))))
+            inf5 = make_infer_fn(model, c5cfg, bind_variables=trained)
+            lab5 = np.asarray(_sync(inf5(jnp.asarray(tv.image))))
             mi = instance_metrics(lab5, tv.labels, iou_threshold=0.5)
             mc = instance_metrics(lab5, tv.labels, criterion="center")
             c5[name] = {
@@ -348,19 +354,21 @@ def main():
         detail["c5_adversarial_quality"] = c5
 
         # ---- c6: halo-exactness quantification (VERDICT r2 weak #2) ----
-        # The flagship waives halo >= RF(53) on the one split axis; quantify
-        # the border error against a voxel-EXACT anchor — tile (96,512,256)
-        # with per-axis halo (0,0,56) has halo >= RF on its only split axis,
-        # so it IS the edge-padded whole-volume forward — on BOTH the
-        # standard and an adversarial fixture, with the exactness COST
-        # measured (the anchor runs within ~20% of the approximate config).
+        # The FLAGSHIP is now voxel-exact by construction (whole volume as
+        # one tile, no seams). This leg quantifies the TILED configs —
+        # required whenever a volume exceeds single-tile memory — against
+        # two exact references: the flagship (zero-SAME border convention)
+        # and the edge-pad-exact anchor (tile (96,512,256) + halo (0,0,56):
+        # halo >= RF on its only split axis = the edge-padded whole-volume
+        # forward). Both the standard and an adversarial touching fixture.
         tv = synthesize_touching_volume(
             shape=VOLUME_SHAPE, num_pairs=150, num_singles=100,
             radius_range=(5.0, 8.0), touch_factor=0.6, noise=0.05, seed=17)
         variants = {
-            "halo8": (cfg.infer.tile, cfg.infer.halo),     # the flagship cfg
-            "halo16": (cfg.infer.tile, (0, 16, 0)),
-            "exact": ((96, 512, 256), (0, 0, 56)),
+            "flagship": (cfg.infer.tile, cfg.infer.halo),  # single-tile exact
+            "halo8": ((96, 256, 512), (0, 8, 0)),   # r3-era tiled flagship
+            "halo16": ((96, 256, 512), (0, 16, 0)),
+            "exact": ((96, 512, 256), (0, 0, 56)),  # edge-pad-exact anchor
         }
         c6 = {}
         for fixture_name, fv, gt in (("standard", vol.image, vol.labels),
@@ -376,15 +384,15 @@ def main():
                     infer=dataclasses.replace(c3.infer, tile=vtile, halo=vhalo),
                     postproc=dataclasses.replace(
                         c3.postproc, fg_target_fraction=frac_h))
-                infh = make_infer_fn(model, ch)
+                infh = make_infer_fn(model, ch, bind_variables=trained)
                 fv_dev = jnp.asarray(fv)   # upload once: time the program,
-                labs[vname] = np.asarray(_sync(infh(trained, fv_dev)))
+                labs[vname] = np.asarray(_sync(infh(fv_dev)))
                 th_ = _median_time(          # not the host tunnel
-                    lambda: _sync(infh(trained, fv_dev)))
+                    lambda: _sync(infh(fv_dev)))
                 mh = instance_metrics(labs[vname], gt, iou_threshold=0.5)
                 row[f"f1_iou50_{vname}"] = round(mh["f1"], 4)
                 row[f"t_e2e_s_{vname}"] = round(th_, 4)
-            for vname in ("halo8", "halo16"):
+            for vname in ("flagship", "halo8", "halo16"):
                 row[f"voxel_agreement_{vname}_vs_exact"] = round(
                     float((labs[vname] == labs["exact"]).mean()), 6)
             c6[fixture_name] = row

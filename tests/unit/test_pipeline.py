@@ -112,6 +112,36 @@ def test_staged_program_matches_fused():
         make_infer_fn(model, bad)
 
 
+def test_bound_variables_matches_unbound():
+    """make_infer_fn(bind_variables=...) bakes the weights in as jit
+    constants (works around the runtime-weights XLA crash on the flagship
+    auto/single-tile program; see pipeline.py) — results must equal the
+    unbound call in BOTH program modes."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpuseg.data import synthesize_volume
+
+    cfg = Config(
+        model=ModelConfig(features=(4, 8), num_groups=2, head_features=4,
+                          compute_dtype="float32", conv_impl="auto"),
+        infer=InferConfig(tile=(16, 16, 16), halo=8, compute_dtype="float32"),
+        postproc=PostprocConfig(min_size=5, flood_iters=12),
+    )
+    model = build_model(cfg.model)
+    variables = init_variables(model, jax.random.key(0),
+                               patch_shape=(16, 16, 16))
+    v = jnp.asarray(
+        synthesize_volume(shape=(24, 32, 32), num_instances=4, seed=1).image)
+    for program in ("fused", "staged"):
+        c = dataclasses.replace(
+            cfg, infer=dataclasses.replace(cfg.infer, program=program))
+        want = np.asarray(make_infer_fn(model, c)(variables, v))
+        got = np.asarray(make_infer_fn(model, c, bind_variables=variables)(v))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_rf_warning_gates_on_supplied_model():
     """ADVICE r2: the halo<RF warning derives the receptive field from the
     model actually passed, so RF-free stand-ins don't trip it."""

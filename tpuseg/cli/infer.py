@@ -128,8 +128,12 @@ def main(argv=None):
         labels = np.asarray(infer(
             variables, shard_volume(jnp.asarray(volume), mesh)))
     else:
-        infer = make_infer_fn(model, cfg, normalize=not args.no_normalize)
-        labels = np.asarray(infer(variables, jnp.asarray(volume)))
+        # bind the checkpoint into the program: weight-side repacks fold at
+        # compile time, and the flagship single-tile/auto program only
+        # compiles bound (see infer/pipeline.py make_infer_fn)
+        infer = make_infer_fn(model, cfg, normalize=not args.no_normalize,
+                              bind_variables=variables)
+        labels = np.asarray(infer(jnp.asarray(volume)))
     dt = time.perf_counter() - t0
 
     if args.validate:
