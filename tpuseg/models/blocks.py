@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -34,6 +35,36 @@ Dtype = Any
 
 def _activation(name: str) -> Callable:
     return {"relu": nn.relu, "silu": nn.silu, "gelu": nn.gelu}[name]
+
+
+class EvalBatchNorm(nn.Module):
+    """Inference-mode BatchNorm: frozen running stats folded to a per-channel
+    affine ``x * s + b`` applied in ``dtype`` (one fused FMA, no f32
+    promotion of the activation). Declares the SAME variable tree as
+    ``nn.BatchNorm`` (params: scale/bias; batch_stats: mean/var, f32), so
+    checkpoints and the training path are interchangeable."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        s = jnp.asarray(
+            jax.lax.rsqrt(ra_var.value + self.epsilon), jnp.float32
+        ) * scale.astype(jnp.float32)
+        b = bias.astype(jnp.float32) - ra_mean.value * s
+        return (x.astype(self.dtype) * s.astype(self.dtype)
+                + b.astype(self.dtype))
 
 
 class ConvBlock(nn.Module):
@@ -68,16 +99,36 @@ class ConvBlock(nn.Module):
             # bound; each avoided fp32 pass is 3x the tensor's bytes) and XLA
             # fuses it into the surrounding bf16 chain.
             if self.norm == "batch":
-                bn_dtype = jnp.float32 if train else self.dtype
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=0.9,
-                    epsilon=1e-5,
-                    dtype=bn_dtype,
-                    param_dtype=self.param_dtype,
-                    axis_name=self.bn_axis if train else None,
-                    name=f"norm{i}",
-                )(x.astype(bn_dtype)).astype(self.dtype)
+                if train:
+                    x = nn.BatchNorm(
+                        use_running_average=False,
+                        momentum=0.9,
+                        epsilon=1e-5,
+                        dtype=jnp.float32,
+                        param_dtype=self.param_dtype,
+                        axis_name=self.bn_axis,
+                        name=f"norm{i}",
+                    )(x.astype(jnp.float32)).astype(self.dtype)
+                else:
+                    # Eval-mode BN as a folded per-channel affine in the
+                    # COMPUTE dtype. flax's nn.BatchNorm always forms
+                    # `x - mean` against f32 running stats (normalization.py
+                    # _normalize; force_float32_reductions only switches f32
+                    # -> param_dtype, also f32 here), silently promoting the
+                    # whole activation to f32 — at the single-tile flagship
+                    # stack that is a 12 GB intermediate (measured as the
+                    # largest allocation in an HBM-OOM'd compile) plus a
+                    # 3x-bytes HBM round trip per BN. The stats are frozen
+                    # constants at eval, so fold them (in f32, per-channel —
+                    # C elements, free) and apply one bf16 FMA that fuses
+                    # into the conv epilogue. Same fold as
+                    # models.fused_eval._fold_bn_jnp.
+                    x = EvalBatchNorm(
+                        epsilon=1e-5,
+                        dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"norm{i}",
+                    )(x)
             elif self.norm == "group":
                 x = nn.GroupNorm(
                     num_groups=min(self.num_groups, self.features),
