@@ -331,14 +331,20 @@ def main():
             "touch65_aniso035": dict(touch_factor=0.65, noise=0.05,
                                      anisotropy=(0.35, 1.0, 1.0)),
         }
+        from tpuseg.ops.calibrate import nms_radius_from_half_sizes
+
         c5 = {}
         for name, kw in adversarial.items():
             tv = synthesize_touching_volume(
                 shape=VOLUME_SHAPE, num_pairs=150, num_singles=100,
                 radius_range=(5.0, 8.0), seed=17, **kw)
             frac_a = expected_fg_fraction(tv.half_sizes, tv.image.size)
+            # per-axis NMS footprint from the same annotations (z-compressed
+            # instances put touching z-pairs' peaks inside an isotropic
+            # radius-2 window — whole instances vanish)
+            nms_r = nms_radius_from_half_sizes(tv.half_sizes)
             c5cfg = dataclasses.replace(c3, postproc=dataclasses.replace(
-                c3.postproc, fg_target_fraction=frac_a))
+                c3.postproc, fg_target_fraction=frac_a, nms_radius=nms_r))
             inf5 = make_infer_fn(model, c5cfg, bind_variables=trained)
             lab5 = np.asarray(_sync(inf5(jnp.asarray(tv.image))))
             mi = instance_metrics(lab5, tv.labels, iou_threshold=0.5)
@@ -346,11 +352,22 @@ def main():
             c5[name] = {
                 "n_gt": int(tv.labels.max()),
                 "n_pred": mi["n_pred"],
+                "nms_radius": list(nms_r),
                 "f1_iou50": round(mi["f1"], 4),
                 "f1_center": round(mc["f1"], 4),
                 "mean_iou": round(mi["mean_matched_iou"], 4)
                 if mi["mean_matched_iou"] == mi["mean_matched_iou"] else None,
             }
+            if kw.get("anisotropy") is not None:
+                # A/B the derivation's value on the aniso stress leg
+                iso_cfg = dataclasses.replace(c5cfg, postproc=dataclasses.replace(
+                    c5cfg.postproc, nms_radius=2))
+                lab_i = np.asarray(_sync(make_infer_fn(
+                    model, iso_cfg, bind_variables=trained)(jnp.asarray(tv.image))))
+                mci = instance_metrics(lab_i, tv.labels, criterion="center")
+                c5[name]["f1_center_iso_radius2"] = round(mci["f1"], 4)
+                c5[name]["recall_center_iso_radius2"] = round(mci["recall"], 4)
+                c5[name]["recall_center"] = round(mc["recall"], 4)
         detail["c5_adversarial_quality"] = c5
 
         # ---- c6: halo-exactness quantification (VERDICT r2 weak #2) ----

@@ -84,6 +84,25 @@ def test_cli_train_infer_evaluate_roundtrip(fixture_dir, capsys):
 
 
 @pytest.mark.slow
+def test_cli_infer_calibrate_from_annotations(fixture_dir, capsys):
+    """--calibrate-from derives fg_target_fraction + per-axis nms_radius from
+    the weak-annotation npz (the production calibration recipe)."""
+    from tpuseg.cli import infer
+
+    d = fixture_dir
+    _ensure_ckpt(d)
+    infer.main([
+        "--checkpoint", str(d / "ckpt"),
+        "--input", str(d / "stack.tiff"), "--output", str(d / "pred_cal.tiff"),
+        "--calibrate-from", str(d / "ann.npz"),
+        *_common_overrides(d),
+    ])
+    out = capsys.readouterr().out
+    assert "calibrated from" in out and "nms_radius=" in out
+    assert (d / "pred_cal.tiff").exists()
+
+
+@pytest.mark.slow
 def test_cli_infer_stream_mode(fixture_dir, capsys):
     from tpuseg.cli import infer
 

@@ -31,7 +31,7 @@ def _cases():
     yield "plateau", plateau
 
 
-@pytest.mark.parametrize("radius", [1, 2])
+@pytest.mark.parametrize("radius", [1, 2, (1, 2, 2), (2, 1, 2)])
 def test_pallas_nms_matches_xla(radius):
     with pltpu.force_tpu_interpret_mode():
         for name, vol in _cases():

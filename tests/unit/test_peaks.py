@@ -41,6 +41,41 @@ def test_nms_radius_merges_close_peaks():
     assert few <= many
 
 
+def test_anisotropic_radius_preserves_z_close_peaks():
+    """Two peaks 2 z-planes apart: an isotropic radius-2 window suppresses the
+    weaker one (whole-instance loss on compressed-z stacks), a (1, 2, 2)
+    footprint keeps both."""
+    vol = np.zeros((16, 16, 16), np.float32)
+    vol[7, 8, 8] = 1.0
+    vol[9, 8, 8] = 0.9
+    iso = np.asarray(peak_nms(jnp.asarray(vol), threshold=0.5, radius=2))
+    assert iso.sum() == 1 and iso[7, 8, 8]
+    aniso = np.asarray(peak_nms(jnp.asarray(vol), threshold=0.5, radius=(1, 2, 2)))
+    assert aniso.sum() == 2 and aniso[7, 8, 8] and aniso[9, 8, 8]
+    # ...while in-plane suppression is unchanged
+    vol2 = np.zeros((16, 16, 16), np.float32)
+    vol2[8, 7, 8] = 1.0
+    vol2[8, 9, 8] = 0.9
+    inplane = np.asarray(peak_nms(jnp.asarray(vol2), threshold=0.5, radius=(1, 2, 2)))
+    assert inplane.sum() == 1 and inplane[8, 7, 8]
+
+
+def test_radius3_normalization():
+    from tpuseg.ops.peaks import radius3
+
+    assert radius3(2) == (2, 2, 2)
+    assert radius3((1, 2, 3)) == (1, 2, 3)
+    assert radius3([1, 2, 3]) == (1, 2, 3)
+
+
+def test_max_seed_count_per_axis():
+    from tpuseg.ops.filter import max_seed_count
+
+    assert max_seed_count((16, 16, 16), 2) == 6 * 6 * 6
+    # per-axis cells: ceil(16/2) * ceil(16/3) * ceil(16/3)
+    assert max_seed_count((16, 16, 16), (1, 2, 2)) == 8 * 6 * 6
+
+
 def test_seed_labels_are_linear_indices_plus_one():
     vol = _gauss((8, 8, 8), (4, 4, 4))
     lab = np.asarray(seed_labels_from_peaks(jnp.asarray(vol), threshold=0.5, radius=1))

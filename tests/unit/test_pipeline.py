@@ -221,3 +221,25 @@ def test_adaptive_upper_pct():
     assert adaptive_upper_pct(0.025) == 99.8           # boundary: fg/10 = 0.25%
     assert adaptive_upper_pct(0.0024) == pytest.approx(99.976)
     assert adaptive_upper_pct(1e-9) == 99.995
+
+
+def test_nms_radius_from_half_sizes():
+    """Per-axis NMS footprint from weak-annotation shape statistics: isotropic
+    annotations reproduce the isotropic default; z-compressed instances get a
+    proportionally smaller z window (never below 1, never above base)."""
+    from tpuseg.ops.calibrate import nms_radius_from_half_sizes
+
+    iso = np.full((40, 3), 6.0)
+    assert nms_radius_from_half_sizes(iso) == (2, 2, 2)
+
+    aniso = np.tile([6.0 * 0.35, 6.0, 6.0], (40, 1))
+    assert nms_radius_from_half_sizes(aniso) == (1, 2, 2)
+
+    # extreme compression clamps at 1, not 0
+    flat = np.tile([0.3, 6.0, 6.0], (40, 1))
+    assert nms_radius_from_half_sizes(flat) == (1, 2, 2)
+
+    # valid mask drops padded rows before the median
+    padded = np.concatenate([aniso, np.zeros((40, 3))])
+    valid = np.concatenate([np.ones(40, bool), np.zeros(40, bool)])
+    assert nms_radius_from_half_sizes(padded, valid=valid) == (1, 2, 2)

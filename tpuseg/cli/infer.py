@@ -37,6 +37,12 @@ def main(argv=None):
                    help="instance-label volume out (npy/npz/h5/tiff, int32)")
     p.add_argument("--no-normalize", action="store_true",
                    help="skip percentile normalization (input already in [0,1])")
+    p.add_argument("--calibrate-from", default="", metavar="ANNOTATIONS_NPZ",
+                   help="weak-annotation npz (centers + half_sizes): derives "
+                        "postproc.fg_target_fraction (box->mask inflation "
+                        "correction) and a per-axis postproc.nms_radius "
+                        "(anisotropic stacks need a smaller z footprint) from "
+                        "the instance-shape statistics")
     p.add_argument("--stream", type=int, default=0, metavar="CHUNK_Z",
                    help="stream the volume through the device in z-chunks of "
                         "this depth (for volumes larger than HBM)")
@@ -72,6 +78,28 @@ def main(argv=None):
     model = build_model(cfg.model)
     variables = jax.tree.map(jnp.asarray, load_variables(args.checkpoint, model, cfg))
     volume = load_volume(args.input).astype(np.float32)
+
+    if args.calibrate_from:
+        import dataclasses
+
+        from tpuseg.data.volume_io import load_annotations
+        from tpuseg.ops.calibrate import (adaptive_upper_pct,
+                                          expected_fg_fraction,
+                                          nms_radius_from_half_sizes)
+
+        _, half_sizes = load_annotations(args.calibrate_from)
+        frac = expected_fg_fraction(half_sizes, volume.size)
+        nms_r = nms_radius_from_half_sizes(half_sizes)
+        upper = adaptive_upper_pct(frac, default_upper=cfg.data.normalize_pcts[1])
+        cfg = dataclasses.replace(
+            cfg,
+            postproc=dataclasses.replace(
+                cfg.postproc, fg_target_fraction=frac, nms_radius=nms_r),
+            data=dataclasses.replace(
+                cfg.data, normalize_pcts=(cfg.data.normalize_pcts[0], upper)))
+        print(f"calibrated from {args.calibrate_from}: "
+              f"fg_target_fraction={frac:.5f} nms_radius={nms_r} "
+              f"normalize_upper_pct={upper:.4f}")
 
     t0 = time.perf_counter()
     if args.stream:

@@ -40,7 +40,11 @@ class PostprocConfig:
 
     peak_threshold: float = 0.5   # min peak-map prob for a seed
     fg_threshold: float = 0.5     # min fg-map prob for a voxel to join an instance
-    nms_radius: int = 2           # half-window of the 3D max-pool NMS
+    nms_radius: int | tuple = 2   # NMS half-window: int or per-axis
+                                  # (rz, ry, rx) — anisotropic stacks need a
+                                  # smaller z footprint or z-stacked touching
+                                  # instances suppress each other's peaks;
+                                  # derive via ops.calibrate.nms_radius_from_half_sizes
     nms_impl: str = "xla"         # "xla" (reduce_window) | "pallas" (fused
                                   # single-pass VMEM kernel, ops/pallas_nms.py)
     resolve_impl: str = "auto"    # chain-resolution/flood backend: "auto"

@@ -85,3 +85,28 @@ def adaptive_upper_pct(fg_fraction: float, default_upper: float = 99.8,
     """
     want = 100.0 * (1.0 - float(fg_fraction) / headroom)
     return float(min(max(default_upper, want), cap))
+
+
+def nms_radius_from_half_sizes(half_sizes: np.ndarray, base: int = 2,
+                               valid: np.ndarray | None = None) -> tuple:
+    """Per-axis NMS footprint from weak-annotation box half-sizes.
+
+    Anisotropic acquisition (z compressed by the PSF) shrinks the z-distance
+    between touching instances' centers below an isotropic NMS window, so
+    one peak suppresses the other and whole instances vanish (measured on
+    the 0.35x-z bench fixture: ~19% of instances undetected at isotropic
+    radius 2). The same weak annotations that calibrate the fg threshold
+    (:func:`expected_fg_fraction`) carry the instance-shape statistics:
+    scale the ``base`` radius by each axis's median half-size relative to
+    the largest axis, clamped to [1, base].
+
+        r_axis = clamp(round(base * median(hs_axis) / max_axis_median), 1, base)
+
+    Isotropic annotations reproduce the isotropic default exactly.
+    """
+    h = np.asarray(half_sizes, np.float64)
+    if valid is not None:
+        h = h[np.asarray(valid, bool)]
+    med = np.median(h, axis=0)
+    scale = med / med.max()
+    return tuple(int(np.clip(round(base * s), 1, base)) for s in scale)

@@ -101,14 +101,16 @@ def size_filter_and_compact_dense(labels: jnp.ndarray, min_size: int,
     return remap[flat].reshape(labels.shape)
 
 
-def max_seed_count(shape, radius: int) -> int:
-    """Static upper bound on peak-NMS seeds: pairwise L-inf distance between
-    surviving seeds exceeds ``radius`` (equal-value plateaus are broken by
-    index, unequal neighbors can't both be window maxima), so each
-    (radius+1)^3 cell holds at most one seed."""
+def max_seed_count(shape, radius) -> int:
+    """Static upper bound on peak-NMS seeds: the per-axis distance between
+    surviving seeds exceeds that axis's radius (equal-value plateaus are
+    broken by index, unequal neighbors can't both be window maxima), so each
+    prod(radius_axis + 1) cell holds at most one seed."""
+    from tpuseg.ops.peaks import radius3
+
     cells = 1
-    for s in shape:
-        cells *= -(-s // (radius + 1))
+    for s, r in zip(shape, radius3(radius)):
+        cells *= -(-s // (r + 1))
     return cells
 
 

@@ -25,11 +25,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sep_maxpool(x, radius, fill):
-    """Separable (2r+1)^3 max-pool with `fill` boundary, on a VMEM-resident
-    block. Shifts are static slices + pads — pure VPU work."""
+    """Separable per-axis (2r+1) max-pool with `fill` boundary, on a
+    VMEM-resident block. ``radius`` is (rz, ry, rx); shifts are static
+    slices + pads — pure VPU work."""
     for axis in range(3):
         acc = x
-        for off in range(1, radius + 1):
+        for off in range(1, radius[axis] + 1):
             for sign in (1, -1):
                 acc = jnp.maximum(acc, _shift(x, axis, sign * off, fill))
         x = acc
@@ -101,17 +102,21 @@ def _nms_kernel(radius, hz, hy, bz, by, h, w,
 def pallas_peak_nms(
     peak_prob: jnp.ndarray,
     threshold,
-    radius: int = 2,
+    radius=2,
     block=(8, 64),
 ) -> jnp.ndarray:
     """Boolean seed mask == ops.peaks.peak_nms, computed by one Pallas pass.
-    ``threshold`` may be a traced scalar (rides in SMEM)."""
+    ``threshold`` may be a traced scalar (rides in SMEM); ``radius`` is an
+    int or a per-axis (rz, ry, rx) tuple (ops.peaks.radius3)."""
+    from tpuseg.ops.peaks import radius3
+
     d, h, w = peak_prob.shape
     bz, by = block
-    hz = 2 * radius                    # full tie-break-exact z halo
-    hy = _round_up(2 * radius, 8)      # y halo, 8-aligned for the memref tiling
-    if (d % bz or h % by or d < bz + 2 * radius or h < by + 2 * radius
-            or hy > by or radius > bz):
+    rz, ry, rx = radius = radius3(radius)
+    hz = 2 * rz                    # full tie-break-exact z halo
+    hy = _round_up(2 * ry, 8)      # y halo, 8-aligned for the memref tiling
+    if (d % bz or h % by or d < bz + 2 * rz or h < by + 2 * ry
+            or hy > by or rz > bz):
         # fall back for awkward shapes / radii rather than mask partial tiles
         from tpuseg.ops.peaks import peak_nms
 

@@ -17,23 +17,39 @@ from jax import lax
 from tpuseg.ops.neighbors import linear_index
 
 
-def _maxpool_same(x: jnp.ndarray, radius: int, init) -> jnp.ndarray:
-    k = 2 * radius + 1
+def radius3(radius) -> tuple:
+    """Normalize an NMS radius to a per-axis (rz, ry, rx) tuple.
+
+    Anisotropic microscopy (z compressed by the PSF) needs anisotropic
+    suppression footprints: with an isotropic radius, the z-separation of
+    touching z-stacked instances can sit inside the window and NMS keeps
+    only one of their peaks (measured on the aniso-0.35 bench fixture:
+    ~19% of instances undetected at radius 2 isotropic).
+    """
+    if isinstance(radius, (tuple, list)):
+        rz, ry, rx = (int(r) for r in radius)
+        return rz, ry, rx
+    return (int(radius),) * 3
+
+
+def _maxpool_same(x: jnp.ndarray, radius, init) -> jnp.ndarray:
+    rz, ry, rx = radius3(radius)
     return lax.reduce_window(
         x, init, lax.max,
-        window_dimensions=(k, k, k),
+        window_dimensions=(2 * rz + 1, 2 * ry + 1, 2 * rx + 1),
         window_strides=(1, 1, 1),
         padding="SAME",
     )
 
 
-def peak_nms(peak_prob: jnp.ndarray, threshold: float, radius: int = 2) -> jnp.ndarray:
+def peak_nms(peak_prob: jnp.ndarray, threshold: float, radius=2) -> jnp.ndarray:
     """Boolean seed mask: local maxima of ``peak_prob`` above ``threshold``.
 
     Args:
       peak_prob: (D, H, W) float map (post-sigmoid).
       threshold: minimum peak value for a seed.
-      radius:    NMS half-window; a seed is the max within its (2r+1)^3 window.
+      radius:    NMS half-window — int or per-axis (rz, ry, rx); a seed is
+                 the max within its (2rz+1)x(2ry+1)x(2rx+1) window.
     """
     peak_prob = peak_prob.astype(jnp.float32)
     mx = _maxpool_same(peak_prob, radius, -jnp.inf)
@@ -46,7 +62,7 @@ def peak_nms(peak_prob: jnp.ndarray, threshold: float, radius: int = 2) -> jnp.n
 
 
 def seed_labels_from_peaks(
-    peak_prob: jnp.ndarray, threshold: float, radius: int = 2
+    peak_prob: jnp.ndarray, threshold: float, radius=2
 ) -> jnp.ndarray:
     """int32 label volume: linear_index+1 at each NMS seed, 0 elsewhere.
 

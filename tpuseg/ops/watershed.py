@@ -202,7 +202,7 @@ def watershed(
     peak_prob: jnp.ndarray,
     peak_threshold: float = 0.5,
     fg_threshold: float = 0.5,
-    peak_radius: int = 2,
+    peak_radius=2,  # int or per-axis (rz, ry, rx) — ops.peaks.radius3
     flood_iters: int = 96,
     method: str = "ascent",
     static_shapes: bool = False,
