@@ -51,3 +51,51 @@ def test_intensity_stays_in_unit_range():
         out, _ = augment_patch(jax.random.key(s), img, tgt, intensity=True)
         o = np.asarray(out)
         assert o.min() >= 0.0 and o.max() <= 1.0
+
+
+# ---- z-scale (anisotropy) augmentation ----
+
+from tpuseg.data.augment import zscale_patch
+
+
+def _zpatch(d=32):
+    img = jnp.zeros((d, 16, 16))
+    # bright plane at z=24 (offset +8 from center 15.5)
+    img = img.at[24].set(1.0)
+    centers = jnp.array([[24.0, 8.0, 8.0]], jnp.float32)
+    halfs = jnp.array([[4.0, 4.0, 4.0]], jnp.float32)
+    return img, centers, halfs
+
+
+def test_zscale_identity_at_scale_one():
+    img, c, h = _zpatch()
+    out, oc, oh = zscale_patch(jax.random.key(0), img, c, h, (1.0, 1.0))
+    assert np.allclose(np.asarray(out), np.asarray(img))
+    assert np.allclose(np.asarray(oc), np.asarray(c))
+    assert np.allclose(np.asarray(oh), np.asarray(h))
+
+
+def test_zscale_squash_moves_content_and_annotations_together():
+    img, c, h = _zpatch()
+    out, oc, oh = zscale_patch(jax.random.key(0), img, c, h, (0.5, 0.5))
+    # annotation: 15.5 + (24 - 15.5) * 0.5 = 19.75; half_z: 4 -> 2
+    assert np.isclose(float(oc[0, 0]), 19.75)
+    assert np.isclose(float(oh[0, 0]), 2.0)
+    assert np.allclose(np.asarray(oc[0, 1:]), [8.0, 8.0])
+    # image content: brightest output plane sits at the transformed center
+    zprofile = np.asarray(out).sum(axis=(1, 2))
+    assert abs(int(zprofile.argmax()) - 19.75) <= 1.0
+    # in-plane axes untouched: each plane is constant-per-plane scaling of
+    # the source's single-hot plane, so xy structure is preserved
+    assert np.allclose(np.asarray(out[19]), np.asarray(out[19])[0, 0])
+
+
+def test_zscale_jits_and_is_deterministic():
+    img, c, h = _zpatch()
+    f = jax.jit(lambda k: zscale_patch(k, img, c, h, (0.3, 1.0)))
+    o1 = f(jax.random.key(7))
+    o2 = f(jax.random.key(7))
+    for a, b in zip(o1, o2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    o3 = f(jax.random.key(8))
+    assert not np.allclose(np.asarray(o1[0]), np.asarray(o3[0]))

@@ -57,3 +57,29 @@ def test_two_instances_max_combine():
     assert t["peak"][4, 8, 8] == pytest.approx(1.0)
     assert t["peak"][12, 8, 8] == pytest.approx(1.0)
     assert t["fg"][4, 8, 8] == 1.0 and t["fg"][12, 8, 8] == 1.0
+
+
+def test_aniso_sigma_matches_iso_for_isotropic_boxes():
+    centers = jnp.array([[8.0, 8.0, 8.0]], jnp.float32)
+    halfs = jnp.array([[4.0, 4.0, 4.0]], jnp.float32)
+    valid = jnp.array([True])
+    iso = make_weak_targets(centers, halfs, valid, (16, 16, 16),
+                            peak_sigma=2.5)
+    ani = make_weak_targets(centers, halfs, valid, (16, 16, 16),
+                            peak_sigma=2.5, aniso_sigma=True)
+    # aspect == 1 for an isotropic box: identical gaussian
+    assert np.allclose(np.asarray(iso["peak"]), np.asarray(ani["peak"]),
+                       atol=1e-6)
+    assert np.array_equal(np.asarray(iso["fg"]), np.asarray(ani["fg"]))
+
+
+def test_aniso_sigma_flattens_peak_with_box():
+    centers = jnp.array([[8.0, 8.0, 8.0]], jnp.float32)
+    halfs = jnp.array([[2.0, 6.0, 6.0]], jnp.float32)  # z-compressed box
+    valid = jnp.array([True])
+    t = make_weak_targets(centers, halfs, valid, (16, 16, 16),
+                          peak_sigma=3.0, aniso_sigma=True)
+    peak = np.asarray(t["peak"])
+    assert np.isclose(peak[8, 8, 8], 1.0)
+    # same offset decays faster along the compressed axis
+    assert peak[11, 8, 8] < peak[8, 11, 8]

@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -79,6 +79,14 @@ class DataConfig:
                                       # so fused/sharded/streamed paths sample
                                       # the identical voxel set (exact parity)
     augment: bool = True
+    aug_zscale: Optional[Tuple[float, float]] = None
+    # z-scale (anisotropy) augmentation range, e.g. (0.3, 1.0): each patch is
+    # squashed along z by s ~ U(lo, hi) with annotations transformed to match
+    # (data.augment.zscale_patch). None = off (default; preserves existing
+    # training streams bitwise).
+    peak_sigma_aniso: bool = False
+    # per-instance anisotropic peak-target sigma derived from the box aspect
+    # (data.weak_targets.make_weak_targets aniso_sigma)
 
 
 @dataclass(frozen=True)

@@ -53,3 +53,41 @@ def augment_patch(
         noise = 0.02 * jax.random.normal(k_noise, image.shape)
         image = jnp.clip(image * scale + shift + noise, 0.0, 1.0)
     return image, targets
+
+
+def zscale_patch(
+    rng: jax.Array,
+    image: jnp.ndarray,        # (D, H, W)
+    centers: jnp.ndarray,      # (M, 3) float32, padded
+    half_sizes: jnp.ndarray,   # (M, 3) float32, padded
+    scale_range: Tuple[float, float],
+):
+    """Anisotropy (z-scale) augmentation in ANNOTATION space.
+
+    Squashes/stretches the patch along z by ``s ~ U(lo, hi)`` about the patch
+    center — simulating acquisition anisotropy (light-sheet z-PSF compression)
+    the reference's flip/rotation augmentations (SURVEY.md C4) cannot model.
+    Runs BEFORE weak-target synthesis: the image is resampled (linear,
+    edge-clamped — static output shape, one gather + lerp) and the
+    annotations are transformed (center_z -> c + (center_z - c) * s,
+    half_z -> half_z * s), so the targets are synthesized directly in the
+    squashed frame with no target interpolation artifacts.
+
+    With s < 1 the outermost output planes map past the patch boundary and
+    clamp to the edge plane; training patches carry background at their z
+    faces, so the replicated content is background smear, not label noise.
+    """
+    lo, hi = scale_range
+    s = jax.random.uniform(rng, minval=lo, maxval=hi)
+    d = image.shape[0]
+    c = (d - 1) / 2.0
+    z_in = c + (jnp.arange(d, dtype=jnp.float32) - c) / s
+    z0 = jnp.clip(jnp.floor(z_in).astype(jnp.int32), 0, d - 1)
+    z1 = jnp.clip(z0 + 1, 0, d - 1)
+    w = jnp.clip(z_in - z0.astype(jnp.float32), 0.0, 1.0)[:, None, None]
+    image = image[z0] * (1.0 - w) + image[z1] * w
+    cz = c + (centers[:, 0] - c) * s
+    centers = jnp.concatenate([cz[:, None], centers[:, 1:]], axis=1)
+    hz = half_sizes[:, 0] * s
+    half_sizes = jnp.concatenate([hz[:, None], half_sizes[:, 1:]], axis=1)
+    return image, centers, half_sizes

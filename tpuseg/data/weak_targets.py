@@ -38,6 +38,7 @@ def make_weak_targets(
     shape,                    # static (D, H, W)
     peak_sigma: float = 3.0,
     margin: float = 2.0,
+    aniso_sigma: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     zz, yy, xx = _coords(shape)
     pos = jnp.stack([zz, yy, xx], axis=-1)                    # (D,H,W,3)
@@ -47,8 +48,22 @@ def make_weak_targets(
 
     delta = jnp.abs(pos[None] - c)                            # (M,D,H,W,3)
 
-    d2 = jnp.sum((pos[None] - c) ** 2, axis=-1)               # (M,D,H,W)
-    g = jnp.exp(-0.5 * d2 / (peak_sigma**2))
+    if aniso_sigma:
+        # Per-instance anisotropic gaussian: scale sigma along each axis by
+        # the instance's box aspect (geomean-normalized so isotropic boxes
+        # reproduce peak_sigma exactly). On z-compressed acquisitions the
+        # peak target then stays as flat as the instance — an isotropic
+        # sigma wider than the instance fuses touching z-pairs' targets
+        # into one blurred blob the peak head cannot separate.
+        hsafe = jnp.maximum(half_sizes.astype(jnp.float32), 1e-3)  # (M,3)
+        aspect = hsafe / jnp.exp(
+            jnp.mean(jnp.log(hsafe), axis=1, keepdims=True))
+        sig = peak_sigma * aspect[:, None, None, None, :]     # (M,1,1,1,3)
+        d2s = jnp.sum(((pos[None] - c) / sig) ** 2, axis=-1)  # (M,D,H,W)
+        g = jnp.exp(-0.5 * d2s)
+    else:
+        d2 = jnp.sum((pos[None] - c) ** 2, axis=-1)           # (M,D,H,W)
+        g = jnp.exp(-0.5 * d2 / (peak_sigma**2))
     peak = jnp.max(jnp.where(vmask, g, 0.0), axis=0)
 
     inner = jnp.all(delta <= jnp.maximum(h - margin, 1.0), axis=-1) & vmask

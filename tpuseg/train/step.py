@@ -23,7 +23,7 @@ import optax
 from flax import struct
 
 from tpuseg.core import Config
-from tpuseg.data.augment import augment_patch
+from tpuseg.data.augment import augment_patch, zscale_patch
 from tpuseg.data.normalize import histogram_percentile_normalize
 from tpuseg.data.weak_targets import make_weak_targets
 from tpuseg.losses import total_loss
@@ -92,10 +92,18 @@ def prepare_batch(batch: Dict[str, jnp.ndarray], cfg: Config, rng: jax.Array,
         # histogram percentile: O(N) vs the O(N log N) sort, error < 1/4096
         # of the intensity range — noise next to the augmentation jitter
         img = histogram_percentile_normalize(img, cfg.data.normalize_pcts)
+        if cfg.data.augment and cfg.data.aug_zscale is not None:
+            # anisotropy augmentation acts in annotation space BEFORE target
+            # synthesis (see data.augment.zscale_patch); key derived by a
+            # second fold so the flip/intensity stream below is unchanged
+            img, centers, halfs = zscale_patch(
+                jax.random.fold_in(jax.random.fold_in(rng, idx), 1),
+                img, centers, halfs, cfg.data.aug_zscale)
         tgt = make_weak_targets(
             centers, halfs, valid, patch,
             peak_sigma=cfg.data.peak_sigma,
             margin=cfg.data.box_ignore_margin,
+            aniso_sigma=cfg.data.peak_sigma_aniso,
         )
         if cfg.data.augment:
             img, tgt = augment_patch(jax.random.fold_in(rng, idx), img, tgt)
