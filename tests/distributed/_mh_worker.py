@@ -1,0 +1,126 @@
+"""Worker for tests/distributed/test_multihost.py — one of TWO real
+processes forming a multi-host JAX runtime over localhost (gloo CPU
+collectives, 4 fake devices per process -> 8 global).
+
+Asserts, from inside the multi-process world, that:
+  A. sharded inference over the GLOBAL 8-device z-mesh — fed per-process via
+     shard_volume's addressable-slab path — reproduces the single-device
+     labels on every locally-addressable shard;
+  B. one DP training step over the global mesh — state replicated via
+     put_replicated, batch fed via shard_batch — matches the single-device
+     step's parameters exactly.
+
+Both legs would fail on the r3 single-process-only ``jax.device_put`` calls
+(device_put onto a mesh with non-addressable devices raises).
+Exit code 0 = all assertions passed in this process.
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+def main():
+    # NOTHING may touch the XLA backend before jax.distributed.initialize —
+    # flax/tpuseg imports all stay below this line.
+    from tpuseg.parallel.multihost import (initialize, is_multiprocess,
+                                           put_replicated)
+
+    assert initialize(), "env-driven jax.distributed bootstrap failed"
+
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    class AnalyticNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            v = x[..., 0].astype(jnp.float32)
+            return {"fg_logits": (v - 0.35) * 25.0,
+                    "peak_logits": (v - 0.75) * 25.0}
+    assert is_multiprocess() and jax.process_count() == 2
+    assert len(jax.devices()) == 8, jax.devices()
+
+    from tpuseg.core import Config, InferConfig, ModelConfig, PostprocConfig
+    from tpuseg.data import synthesize_volume
+    from tpuseg.data.normalize import percentile_normalize
+    from tpuseg.infer import (make_infer_fn, make_sharded_infer_fn,
+                              make_z_mesh, shard_volume)
+
+    cfg = Config(
+        infer=InferConfig(tile=(8, 16, 16), halo=4, compute_dtype="float32",
+                          shard_halo=8, shard_max_labels=256),
+        postproc=PostprocConfig(peak_threshold=0.5, fg_threshold=0.5,
+                                nms_radius=2, min_size=5, flood_iters=16),
+    )
+    vol = synthesize_volume(shape=(64, 32, 32), num_instances=8,
+                            radius_range=(3.0, 5.0), noise=0.0, seed=4)
+    v = np.asarray(percentile_normalize(vol.image))
+    model = AnalyticNet()
+    variables = {"params": {}}
+
+    # single-device reference (identical on both processes)
+    ref = np.asarray(
+        make_infer_fn(model, cfg, normalize=False)(variables, jnp.asarray(v)))
+    assert ref.max() >= 3, "fixture degenerate"
+
+    # ---- leg A: sharded inference over the global mesh ----
+    mesh = make_z_mesh()
+    sharded = make_sharded_infer_fn(model, cfg, mesh, normalize=False)
+    out = sharded(variables, shard_volume(v, mesh))
+    n_checked = 0
+    for s in out.addressable_shards:
+        got = np.asarray(s.data)
+        np.testing.assert_array_equal(got, ref[s.index])
+        n_checked += 1
+    assert n_checked == 4, n_checked
+
+    # ---- leg B: DP training step over the global mesh ----
+    from tpuseg.core import DataConfig, TrainConfig
+    from tpuseg.data import PatchSampler
+    from tpuseg.models import build_model
+    from tpuseg.train import create_train_state, make_train_step
+    from tpuseg.train.dp import make_dp_train_step, shard_batch
+
+    tcfg = Config(
+        model=ModelConfig(features=(4, 8), norm="group", num_groups=2,
+                          head_features=4, compute_dtype="float32"),
+        data=DataConfig(patch_size=(16, 16, 16), batch_size=8,
+                        max_instances=8),
+        train=TrainConfig(total_steps=2, warmup_steps=1),
+    )
+    tmodel = build_model(tcfg.model)
+    sampler = PatchSampler([vol], patch_size=tcfg.data.patch_size,
+                           batch_size=8, max_instances=8, seed=0)
+    batch = sampler.next_batch()
+    rng = jax.random.PRNGKey(3)
+
+    state0 = create_train_state(tmodel, tcfg, jax.random.PRNGKey(0))
+    single = jax.jit(make_train_step(tmodel, tcfg))
+    s_single, _ = single(state0, batch, rng)
+
+    dmesh = make_z_mesh(axis="data")
+    dp_step = make_dp_train_step(tmodel, tcfg, dmesh)
+    state0g = state0.replace(
+        params=put_replicated(jax.device_get(state0.params), dmesh),
+        batch_stats=put_replicated(jax.device_get(state0.batch_stats), dmesh),
+        opt_state=put_replicated(jax.device_get(state0.opt_state), dmesh),
+        step=put_replicated(jax.device_get(state0.step), dmesh),
+    )
+    s_dp, _ = dp_step(state0g, shard_batch(batch, dmesh),
+                      put_replicated(np.asarray(rng), dmesh))
+    for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                    jax.tree_util.tree_leaves(s_dp.params)):
+        bl = np.asarray(b.addressable_shards[0].data)
+        np.testing.assert_allclose(np.asarray(a), bl, rtol=1e-6, atol=1e-7)
+
+    print(f"proc {jax.process_index()} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

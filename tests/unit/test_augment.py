@@ -64,20 +64,25 @@ def _zpatch(d=32):
     img = img.at[24].set(1.0)
     centers = jnp.array([[24.0, 8.0, 8.0]], jnp.float32)
     halfs = jnp.array([[4.0, 4.0, 4.0]], jnp.float32)
-    return img, centers, halfs
+    valid = jnp.array([True])
+    return img, centers, halfs, valid
 
 
 def test_zscale_identity_at_scale_one():
-    img, c, h = _zpatch()
-    out, oc, oh = zscale_patch(jax.random.key(0), img, c, h, (1.0, 1.0))
+    img, c, h, v = _zpatch()
+    out, oc, oh, ov, zw = zscale_patch(jax.random.key(0), img, c, h, v,
+                                       (1.0, 1.0))
     assert np.allclose(np.asarray(out), np.asarray(img))
     assert np.allclose(np.asarray(oc), np.asarray(c))
     assert np.allclose(np.asarray(oh), np.asarray(h))
+    assert bool(ov[0])
+    assert np.all(np.asarray(zw) == 1.0)
 
 
 def test_zscale_squash_moves_content_and_annotations_together():
-    img, c, h = _zpatch()
-    out, oc, oh = zscale_patch(jax.random.key(0), img, c, h, (0.5, 0.5))
+    img, c, h, v = _zpatch()
+    out, oc, oh, _, _ = zscale_patch(jax.random.key(0), img, c, h, v,
+                                     (0.5, 0.5))
     # annotation: 15.5 + (24 - 15.5) * 0.5 = 19.75; half_z: 4 -> 2
     assert np.isclose(float(oc[0, 0]), 19.75)
     assert np.isclose(float(oh[0, 0]), 2.0)
@@ -91,11 +96,36 @@ def test_zscale_squash_moves_content_and_annotations_together():
 
 
 def test_zscale_jits_and_is_deterministic():
-    img, c, h = _zpatch()
-    f = jax.jit(lambda k: zscale_patch(k, img, c, h, (0.3, 1.0)))
+    img, c, h, v = _zpatch()
+    f = jax.jit(lambda k: zscale_patch(k, img, c, h, v, (0.3, 1.0)))
     o1 = f(jax.random.key(7))
     o2 = f(jax.random.key(7))
     for a, b in zip(o1, o2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
     o3 = f(jax.random.key(8))
     assert not np.allclose(np.asarray(o1[0]), np.asarray(o3[0]))
+
+
+def test_zscale_squash_zero_weights_replicated_planes():
+    # s = 0.5 on d=32: output planes whose source z_in = c + (z-c)/s leaves
+    # [0, 31] must carry z_weight 0 — those planes edge-replicate the face
+    # plane and must not contribute to the fg loss (ADVICE r3)
+    img, c, h, v = _zpatch()
+    _, _, _, _, zw = zscale_patch(jax.random.key(0), img, c, h, v, (0.5, 0.5))
+    zw = np.asarray(zw)
+    d, cc = 32, 15.5
+    z_in = cc + (np.arange(d) - cc) / 0.5
+    expect = ((z_in >= 0) & (z_in <= d - 1)).astype(np.float32)
+    assert np.array_equal(zw, expect)
+    assert zw.sum() < d  # some planes actually out of range
+
+
+def test_zscale_stretch_invalidates_offpatch_centers():
+    # s = 2 moves the center at z=24 to 15.5 + 8.5*2 = 32.5 > 31 -> invalid
+    img, c, h, v = _zpatch()
+    _, oc, _, ov, zw = zscale_patch(jax.random.key(0), img, c, h, v,
+                                    (2.0, 2.0))
+    assert float(oc[0, 0]) > 31.0
+    assert not bool(ov[0])
+    # stretch: every output plane samples inside the patch
+    assert np.all(np.asarray(zw) == 1.0)

@@ -196,3 +196,58 @@ def test_stream_resume_geometry_mismatch_restarts(cfg, volume, tmp_path):
                           on_chunk_done=calls.append)
     assert calls[0] == 0  # restarted from chunk 0 under the new geometry
     np.testing.assert_array_equal(first, second)
+
+
+class _CountingVolume:
+    """Array-like wrapper counting voxels read via __getitem__ — proves the
+    pass structure (VERDICT r3 #4: normalization is ONE source pass)."""
+
+    def __init__(self, arr):
+        self._arr = arr
+        self.voxels_read = 0
+
+    @property
+    def shape(self):
+        return self._arr.shape
+
+    @property
+    def dtype(self):
+        return self._arr.dtype
+
+    def __getitem__(self, key):
+        out = self._arr[key]
+        self.voxels_read += out.size
+        return out
+
+
+def test_stream_normalization_is_one_source_pass(cfg, volume):
+    model = AnalyticNet()
+    variables = {"params": {}}
+    raw = (volume.image * 900.0 + 100.0).astype(np.float32)
+    counted = _CountingVolume(raw)
+    got = stream_infer(model, cfg, variables, counted, chunk_z=16, halo=8,
+                       normalize=True)
+    # normalize pass reads the core voxels once; the chunk pass reads
+    # extended chunks (core + halos). Anything >= 2 core-equivalents over
+    # the normalize budget means a second normalization sweep came back.
+    d, h, w = raw.shape
+    core = d * h * w
+    n_chunks = -(-d // 16)
+    chunk_pass = core + n_chunks * 2 * 8 * h * w  # ext over-read (halo 8)
+    assert counted.voxels_read <= core + chunk_pass
+    # and the fold is value-exact vs the in-memory two-pass reference
+    want = stream_infer(model, cfg, variables, raw, chunk_z=16, halo=8,
+                        normalize=True)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_normalization_spill_path_identical(cfg, volume, tmp_path):
+    """Forcing the sample cache to spill to disk must not change anything."""
+    model = AnalyticNet()
+    variables = {"params": {}}
+    raw = (volume.image * 77.0 + 5.0).astype(np.float32)
+    a = stream_infer(model, cfg, variables, raw, chunk_z=16, halo=8,
+                     normalize=True)
+    b = stream_infer(model, cfg, variables, raw, chunk_z=16, halo=8,
+                     normalize=True, sample_cache_bytes=0)
+    np.testing.assert_array_equal(a, b)

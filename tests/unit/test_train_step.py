@@ -153,3 +153,129 @@ def test_grad_accum_matches_single_step():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+# ---- validation split + metrics (VERDICT r3 #6) ----
+
+
+def test_split_volumes_deterministic_and_disjoint():
+    from tpuseg.train.val import split_volumes
+
+    vols = [synthesize_volume(shape=(24, 24, 24), num_instances=3, seed=s)
+            for s in range(5)]
+    tr1, va1 = split_volumes(vols, 0.4, seed=3)
+    tr2, va2 = split_volumes(vols, 0.4, seed=3)
+    assert len(va1) == 2 and len(tr1) == 3
+    for a, b in zip(va1, va2):
+        assert a is b  # identical selection, same objects
+    ids = {id(v) for v in vols}
+    assert {id(v) for v in tr1} | {id(v) for v in va1} == ids
+    assert {id(v) for v in tr1} & {id(v) for v in va1} == set()
+    # a different seed picks a different hold-out at least sometimes
+    by_id = {id(v): i for i, v in enumerate(vols)}
+    picks = {tuple(sorted(by_id[id(v)]
+                          for v in split_volumes(vols, 0.4, seed=s)[1]))
+             for s in range(8)}
+    assert len(picks) > 1
+
+
+def test_split_single_volume_z_slab():
+    from tpuseg.train.val import split_volumes
+
+    vol = synthesize_volume(shape=(40, 24, 24), num_instances=8, seed=1)
+    (tr,), (va,) = split_volumes([vol], 0.25, seed=0)
+    assert tr.image.shape[0] == 30 and va.image.shape[0] == 10
+    np.testing.assert_array_equal(
+        np.concatenate([tr.image, va.image]), vol.image)
+    # annotations partitioned by center z, val slab coords shifted
+    assert len(tr.centers) + len(va.centers) == len(vol.centers)
+    if len(va.centers):
+        assert (va.centers[:, 0] >= 0).all() and (va.centers[:, 0] < 10).all()
+    if len(tr.centers):
+        assert (tr.centers[:, 0] < 30).all()
+
+
+def test_val_metrics_and_best_checkpoint(vol, tmp_path):
+    import dataclasses
+    import os
+
+    cfg = tiny_config(str(tmp_path / "ck"), steps=6)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, val_fraction=0.25, val_every=3, val_patches=4))
+    vol2 = synthesize_volume(shape=(32, 32, 32), num_instances=4, seed=9)
+    _, history = train(cfg, [vol, vol2], log_path=str(tmp_path / "m.jsonl"))
+    val_recs = [h for h in history if "val_loss" in h]
+    assert len(val_recs) >= 2
+    assert all(np.isfinite(r["val_loss"]) for r in val_recs)
+    assert {"val_fg_loss", "val_peak_loss"} <= set(val_recs[0])
+    # best checkpoint retained
+    assert os.path.isdir(tmp_path / "ck" / "best")
+    from tpuseg.ckpt import CheckpointManager
+
+    best = CheckpointManager(str(tmp_path / "ck" / "best"), keep=1)
+    assert best.latest_step() is not None
+
+
+def test_val_split_deterministic_across_resume(tmp_path):
+    """Resume must re-derive the identical train/val split: a resumed run
+    matches an uninterrupted one parameter-for-parameter."""
+    import dataclasses
+
+    vols = [synthesize_volume(shape=(32, 32, 32), num_instances=4, seed=s)
+            for s in (0, 9)]
+
+    def cfg_for(sub, steps):
+        cfg = tiny_config(str(tmp_path / sub), steps=steps)
+        return dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, val_fraction=0.5, val_every=3, val_patches=4))
+
+    state_a, _ = train(cfg_for("a", 6), vols)
+    train(cfg_for("b", 3), vols)
+    state_b, _ = train(cfg_for("b", 6), vols, resume=True)
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_bn_grad_accum_drift_bounded():
+    """VERDICT r3 #9: with norm="batch" each microbatch sees its own batch
+    statistics, so grad_accum deviates from the unaccumulated step. Quantify:
+    the deviation exists but stays bounded over several steps (relative param
+    distance < 2% after 4 steps on this toy net — documented semantics, see
+    train/step.py)."""
+    import dataclasses
+
+    from tpuseg.train.step import create_train_state, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(features=(4, 8), norm="batch", head_features=4,
+                          compute_dtype="float32"),
+        data=DataConfig(patch_size=(16, 16, 16), batch_size=4,
+                        max_instances=8),
+        train=TrainConfig(total_steps=4, warmup_steps=1),
+    )
+    vol = synthesize_volume(shape=(32, 32, 32), num_instances=6,
+                            radius_range=(2.0, 4.0), seed=0)
+    model = build_model(cfg.model)
+    sampler = PatchSampler([vol], patch_size=cfg.data.patch_size,
+                           batch_size=cfg.data.batch_size, max_instances=8)
+    batches = [sampler.next_batch() for _ in range(4)]
+    rng = jax.random.key(7)
+
+    def run(accum):
+        state = create_train_state(model, cfg, jax.random.key(0))
+        step = jax.jit(make_train_step(model, cfg, grad_accum=accum))
+        for b in batches:
+            state, _ = step(state, b, rng)
+        return state
+
+    s1, s2 = run(1), run(2)
+    num = den = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        num += float(jnp.sum((a - b) ** 2))
+        den += float(jnp.sum(a ** 2))
+    rel = (num / den) ** 0.5
+    assert rel > 0.0         # BN batch stats DO couple microbatches...
+    assert rel < 0.02, rel   # ...but the drift is bounded (documented)

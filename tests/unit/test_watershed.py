@@ -167,3 +167,32 @@ def test_dense_label_space_matches_index_space():
             watershed(fg, pk, method=method, flood_iters=24,
                       label_space="dense"), 10, max_seed_count(shape, 2)))
         np.testing.assert_array_equal(got, want, err_msg=method)
+
+
+def test_flood_cap_truncation_is_surfaced(capfd):
+    """A tube of fg longer than flood_iters from its only seed leaves voxels
+    unlabeled next to labeled ones — watershed must say so (VERDICT r3 #7)."""
+    import jax
+
+    d = 64
+    fg = np.zeros((4, 4, d), bool)
+    fg[1, 1, :] = True
+    peak = np.zeros((4, 4, d), np.float32)
+    peak[1, 1, 0] = 1.0  # single seed at the x=0 end
+    lab = np.asarray(watershed(
+        jnp.asarray(fg.astype(np.float32)), jnp.asarray(peak),
+        peak_threshold=0.5, fg_threshold=0.5, flood_iters=8))
+    jax.effects_barrier()
+    # the far end of the tube stayed unlabeled (cap truncated)
+    assert (lab[1, 1, :5] > 0).all() and (lab[1, 1, -5:] == 0).all()
+    out = capfd.readouterr()
+    assert "NOT CONVERGED" in out.out + out.err
+
+    # converged run stays silent
+    lab2 = np.asarray(watershed(
+        jnp.asarray(fg.astype(np.float32)), jnp.asarray(peak),
+        peak_threshold=0.5, fg_threshold=0.5, flood_iters=d + 2))
+    jax.effects_barrier()
+    assert (lab2[fg] > 0).all()
+    out = capfd.readouterr()
+    assert "NOT CONVERGED" not in out.out + out.err

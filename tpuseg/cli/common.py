@@ -64,3 +64,16 @@ def load_variables(ckpt: str, model, cfg: Config):
         )
         out["batch_stats"] = res["batch_stats"]
     return out
+
+
+def bootstrap_runtime() -> None:
+    """Process-level runtime setup for every CLI entry point: multi-host
+    ``jax.distributed`` bootstrap when the TPUSEG_COORDINATOR /
+    TPUSEG_NUM_PROCESSES / TPUSEG_PROCESS_ID environment is present
+    (parallel/multihost.py — a no-op single-process), then the persistent
+    XLA compilation cache."""
+    from tpuseg.parallel.multihost import initialize
+    from tpuseg.utils.cache import enable_compilation_cache
+
+    initialize()
+    enable_compilation_cache()

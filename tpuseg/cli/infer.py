@@ -63,9 +63,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = load_config(args)
 
-    from tpuseg.utils.cache import enable_compilation_cache
+    from tpuseg.cli.common import bootstrap_runtime
 
-    enable_compilation_cache()
+    bootstrap_runtime()
 
     import jax
     import jax.numpy as jnp

@@ -24,12 +24,19 @@ def main(argv=None):
                    help="train on N synthetic volumes instead of files")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--log", default=None, help="metrics JSONL path")
+    p.add_argument("--val-fraction", type=float, default=None,
+                   help="hold out this fraction for validation (whole volumes "
+                        "when several are given, a z-slab of a single one); "
+                        "logs val_* metrics and keeps the best checkpoint "
+                        "under <ckpt_dir>/best")
     args = p.parse_args(argv)
     cfg = load_config(args)
+    if args.val_fraction is not None:
+        cfg = cfg.override(**{"train.val_fraction": args.val_fraction})
 
-    from tpuseg.utils.cache import enable_compilation_cache
+    from tpuseg.cli.common import bootstrap_runtime
 
-    enable_compilation_cache()
+    bootstrap_runtime()
 
     import numpy as np
 

@@ -110,6 +110,17 @@ class TrainConfig:
     prefetch_depth: int = 2       # background batches sampled+uploaded ahead
                                   # of the device (data/prefetch.py); 0 = the
                                   # synchronous in-loop sampling
+    # ---- validation (train/val.py; VERDICT r3 #6) ----
+    val_fraction: float = 0.0     # >0: hold out this fraction for validation
+                                  # (whole volumes when >=2 given, a z-slab of
+                                  # a single volume); 0 = off
+    val_every: int = 100          # steps between validation evals
+    val_patches: int = 16         # fixed val patches scored per eval
+    val_f1: bool = False          # also run full val-volume inference and
+                                  # score center-criterion instance F1
+                                  # (annotation-only — works without GT masks)
+    keep_best: bool = True        # retain the best-val-loss checkpoint under
+                                  # <ckpt_dir>/best (needs val_fraction > 0)
 
 
 @dataclass(frozen=True)

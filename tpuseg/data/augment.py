@@ -60,6 +60,7 @@ def zscale_patch(
     image: jnp.ndarray,        # (D, H, W)
     centers: jnp.ndarray,      # (M, 3) float32, padded
     half_sizes: jnp.ndarray,   # (M, 3) float32, padded
+    valid: jnp.ndarray,        # (M,) bool
     scale_range: Tuple[float, float],
 ):
     """Anisotropy (z-scale) augmentation in ANNOTATION space.
@@ -73,15 +74,25 @@ def zscale_patch(
     half_z -> half_z * s), so the targets are synthesized directly in the
     squashed frame with no target interpolation artifacts.
 
-    With s < 1 the outermost output planes map past the patch boundary and
-    clamp to the edge plane; training patches carry background at their z
-    faces, so the replicated content is background smear, not label noise.
+    Returns ``(image, centers, half_sizes, valid, z_weight)``:
+
+    * ``z_weight`` (D,) float32 — 0 on output planes whose source coordinate
+      falls outside [0, d-1] (with s < 1 those planes edge-replicate the face
+      plane; if an instance straddles the face its bright tissue is smeared
+      across them while the squashed annotation labels those voxels confident
+      background — ADVICE r3). Callers multiply it into ``fg_weight`` so the
+      replicated planes are excluded from the fg loss.
+    * ``valid`` — input validity AND transformed-center-in-bounds, so for
+      stretch factors s > 1 annotations whose content left the patch don't
+      synthesize targets over unrelated voxels (ADVICE r3).
     """
     lo, hi = scale_range
     s = jax.random.uniform(rng, minval=lo, maxval=hi)
     d = image.shape[0]
     c = (d - 1) / 2.0
     z_in = c + (jnp.arange(d, dtype=jnp.float32) - c) / s
+    in_bounds = (z_in >= 0.0) & (z_in <= d - 1.0)
+    z_weight = in_bounds.astype(jnp.float32)
     z0 = jnp.clip(jnp.floor(z_in).astype(jnp.int32), 0, d - 1)
     z1 = jnp.clip(z0 + 1, 0, d - 1)
     w = jnp.clip(z_in - z0.astype(jnp.float32), 0.0, 1.0)[:, None, None]
@@ -90,4 +101,5 @@ def zscale_patch(
     centers = jnp.concatenate([cz[:, None], centers[:, 1:]], axis=1)
     hz = half_sizes[:, 0] * s
     half_sizes = jnp.concatenate([hz[:, None], half_sizes[:, 1:]], axis=1)
-    return image, centers, half_sizes
+    valid = valid & (cz >= 0.0) & (cz <= d - 1.0)
+    return image, centers, half_sizes, valid, z_weight

@@ -130,7 +130,7 @@ def _conv_pass(src_ring, slots, B_ref, sb_ref, dst_write, *, n_rows, wp, R,
 
 def _kernel(xp_hbm, B1_ref, sb1_ref, B2_ref, sb2_ref, out_hbm,
             xp_ring, t_ring, out_buf, dma_sems, out_sems,
-            *, D, H, W, Hh, wp, R, dtype):
+            *, D, H, W, Hh, wp, R, dtype, ablate=frozenset()):
     """Grid (h_splits, D); input planes and output planes move through
     manual double-buffered DMA (both HBM operands are memory_space=ANY).
     An earlier version used a pipelined out BlockSpec; Mosaic's per-step

@@ -307,4 +307,26 @@ def watershed(
                                   unroll_static=static_shapes)
     else:
         raise ValueError(f"unknown watershed method {method!r}")
+
+    # Surface flood-cap truncation (VERDICT r3 #7): an unlabeled fg voxel
+    # ADJACENT to a labeled one means one more flood step would still make
+    # progress, i.e. ``flood_iters`` truncated the fixed point and those
+    # voxels silently stay label-0. (Unlabeled fg with NO labeled neighbor is
+    # a seedless component — dropped by design, not a convergence failure.)
+    # Cost: 6 boolean shifts + a reduction, negligible next to the flood.
+    # cond_print no-ops on backends without host callbacks (utils/debug.py).
+    from tpuseg.utils.debug import cond_print
+
+    lab_pos = labels > 0
+    nbr_lab = jnp.zeros_like(lab_pos)
+    for axis, off in NEIGHBORS_6:
+        nbr_lab = nbr_lab | shift(lab_pos, axis, off, False)
+    n_trunc = jnp.sum(fg_mask & (~lab_pos) & nbr_lab, dtype=jnp.int32)
+    cond_print(
+        n_trunc > 0,
+        "tpuseg: watershed flood NOT CONVERGED — {c} foreground voxels "
+        "adjacent to labeled basins remain unlabeled after flood_iters="
+        + str(flood_iters) + " steps; raise PostprocConfig.flood_iters.",
+        c=n_trunc,
+    )
     return labels

@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_SENTINEL = jnp.int32(2**31 - 1)
+# Plain Python int (NOT jnp.int32(...)): a module-level jax scalar would
+# initialize the XLA backend at import time, which breaks the multi-host
+# bootstrap (jax.distributed.initialize must run before any backend touch —
+# parallel/multihost.py). Weak typing keeps every use int32, same as before.
+_SENTINEL = 2**31 - 1
 
 
 def _closure_table(edges: jnp.ndarray):
@@ -338,16 +342,15 @@ def global_compact_labels(
 
     # surface cap overflow instead of silently truncating (ADVICE r1)
     n_distinct = jnp.sum(first.astype(jnp.int32))
+    from tpuseg.utils.debug import cond_print
+
     overflow = lax.pmax(n_distinct, axis) > max_labels_per_shard
-    lax.cond(
+    cond_print(
         overflow,
-        lambda c: jax.debug.print(
-            "tpuseg: global_compact_labels OVERFLOW — a shard has {c} distinct "
-            "labels > cap {cap}; overflowed instances are dropped. Raise "
-            "InferConfig.shard_max_labels.", c=c, cap=max_labels_per_shard),
-        lambda c: None,
-        n_distinct,
-    )
+        "tpuseg: global_compact_labels OVERFLOW — a shard has {c} distinct "
+        "labels > cap {cap}; overflowed instances are dropped. Raise "
+        "InferConfig.shard_max_labels.", c=n_distinct,
+        cap=max_labels_per_shard)
 
     # positions of the first occurrences, compacted into a bounded table;
     # per-entry count = next first position - my position (runs are

@@ -61,9 +61,13 @@ def make_dp_train_step(model, cfg: Config, mesh: Mesh):
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh):
-    """Place a host batch with its leading axis sharded over the data axis."""
+    """Place a host batch with its leading axis sharded over the data axis.
+
+    Multi-process safe: every process passes the same GLOBAL batch (the
+    sampler is a pure function of (seed, step), so all hosts can cheaply
+    draw it) and uploads only its addressable examples
+    (parallel.multihost.put_global)."""
     axis = mesh.axis_names[0]
-    return {
-        k: jax.device_put(v, NamedSharding(mesh, P(axis)))
-        for k, v in batch.items()
-    }
+    from tpuseg.parallel.multihost import put_global
+
+    return {k: put_global(v, mesh, P(axis)) for k, v in batch.items()}

@@ -31,11 +31,31 @@ def train(
     mesh=None,
     log_path: Optional[str] = None,
     resume: bool = False,
+    val_volumes: Optional[Sequence[SyntheticVolume]] = None,
 ):
-    """Returns (final TrainState, list of metric dicts)."""
+    """Returns (final TrainState, list of metric dicts).
+
+    Validation (VERDICT r3 #6): pass ``val_volumes`` explicitly, or set
+    ``cfg.train.val_fraction`` > 0 to derive a deterministic hold-out from
+    ``volumes`` (train/val.py split_volumes — resume re-derives the same
+    split). Val metrics land in the same JSONL/history stream as ``val_*``
+    keys; the best-val-loss params are retained under ``<ckpt_dir>/best``.
+    """
     model = build_model(cfg.model)
     rng = jax.random.key(cfg.train.seed)
     state = create_train_state(model, cfg, rng)
+
+    if val_volumes is None and cfg.train.val_fraction > 0:
+        from tpuseg.train.val import split_volumes
+
+        volumes, val_volumes = split_volumes(
+            volumes, cfg.train.val_fraction, cfg.train.seed)
+    val_eval = None
+    if val_volumes:
+        from tpuseg.train.val import make_val_eval
+
+        val_eval = make_val_eval(model, cfg, val_volumes)
+
     sampler = PatchSampler(
         volumes,
         patch_size=cfg.data.patch_size,
@@ -44,6 +64,13 @@ def train(
         seed=cfg.train.seed,
     )
     mgr = CheckpointManager(cfg.train.ckpt_dir, keep=cfg.train.keep_ckpts)
+    best_mgr = None
+    if val_eval is not None and cfg.train.keep_best:
+        import os
+
+        best_mgr = CheckpointManager(
+            os.path.join(cfg.train.ckpt_dir, "best"), keep=1)
+    best_val = float("inf")
 
     start_step = 0
     if resume and mgr.latest_step() is not None:
@@ -59,6 +86,7 @@ def train(
         )
         sampler.load_state_dict(meta["sampler"])
         start_step = int(meta["step"])
+        best_val = float(meta.get("best_val", best_val))
 
     if (
         mesh is None
@@ -118,6 +146,24 @@ def train(
                 mvox_s = voxels_per_batch * cfg.train.log_every / dt / 1e6
                 logger.log(step + 1, metrics, mvox_per_s=round(mvox_s, 3))
                 history.append({"step": step + 1, **metrics, "mvox_per_s": mvox_s})
+            if val_eval is not None and (
+                (step + 1) % cfg.train.val_every == 0
+                or step + 1 == cfg.train.total_steps
+            ):
+                vm = val_eval(state)
+                logger.log(step + 1, vm)
+                history.append({"step": step + 1, **vm})
+                if best_mgr is not None and vm["val_loss"] < best_val:
+                    best_val = vm["val_loss"]
+                    best_mgr.save(
+                        step + 1,
+                        jax.device_get(state.params),
+                        jax.device_get(state.opt_state),
+                        meta={"step": step + 1, "config": cfg.to_dict(),
+                              **{k: float(v) for k, v in vm.items()}},
+                        batch_stats=jax.device_get(state.batch_stats),
+                    )
+                t_last = time.perf_counter()  # don't bill val time as train
             if (step + 1) % cfg.train.ckpt_every == 0 or step + 1 == cfg.train.total_steps:
                 mgr.save(
                     step + 1,
@@ -127,11 +173,14 @@ def train(
                         "step": step + 1,
                         "sampler": feed.state_dict(),
                         "config": cfg.to_dict(),
+                        "best_val": best_val,
                     },
                     batch_stats=jax.device_get(state.batch_stats),
                 )
     finally:
         feed.close()
     mgr.wait()
+    if best_mgr is not None:
+        best_mgr.wait()
     logger.close()
     return state, history

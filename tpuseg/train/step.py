@@ -92,19 +92,24 @@ def prepare_batch(batch: Dict[str, jnp.ndarray], cfg: Config, rng: jax.Array,
         # histogram percentile: O(N) vs the O(N log N) sort, error < 1/4096
         # of the intensity range — noise next to the augmentation jitter
         img = histogram_percentile_normalize(img, cfg.data.normalize_pcts)
+        z_weight = None
         if cfg.data.augment and cfg.data.aug_zscale is not None:
             # anisotropy augmentation acts in annotation space BEFORE target
             # synthesis (see data.augment.zscale_patch); key derived by a
             # second fold so the flip/intensity stream below is unchanged
-            img, centers, halfs = zscale_patch(
+            img, centers, halfs, valid, z_weight = zscale_patch(
                 jax.random.fold_in(jax.random.fold_in(rng, idx), 1),
-                img, centers, halfs, cfg.data.aug_zscale)
+                img, centers, halfs, valid, cfg.data.aug_zscale)
         tgt = make_weak_targets(
             centers, halfs, valid, patch,
             peak_sigma=cfg.data.peak_sigma,
             margin=cfg.data.box_ignore_margin,
             aniso_sigma=cfg.data.peak_sigma_aniso,
         )
+        if z_weight is not None:
+            # exclude edge-replicated z planes from the fg loss (ADVICE r3:
+            # squash smear would otherwise train bright tissue as background)
+            tgt = dict(tgt, fg_weight=tgt["fg_weight"] * z_weight[:, None, None])
         if cfg.data.augment:
             img, tgt = augment_patch(jax.random.fold_in(rng, idx), img, tgt)
         return img, tgt
