@@ -42,7 +42,7 @@ sys.path.insert(0, REPO)
 
 CPU_BASELINE_PATH = os.path.join(REPO, "BASELINE_CPU.json")
 CPU_TRAINED_PATH = os.path.join(REPO, "BASELINE_CPU_TRAINED.json")
-WEIGHTS_CACHE = os.path.join(REPO, ".bench", "weights_r2.msgpack")
+WEIGHTS_CACHE = os.path.join(REPO, ".bench", "weights_r4_aniso.msgpack")
 VOLUME_SHAPE = (96, 512, 512)  # NORTH-STAR config 2/3 stack size
 PEAK_BF16_FLOPS = 197e12       # TPU v5e
 
@@ -149,9 +149,15 @@ def get_trained_variables(cfg):
     # train with the native conv schedule: zpack wins the INFERENCE tile
     # sweep but is ~2x slower on 64^3 training batches (fwd+bwd); parameters
     # are schedule-independent so the cached weights serve both
+    # anisotropy-robust recipe (r4, benchmarks/aniso_train_ab.py — recorded
+    # in benchmarks/results_aniso_ab_r4.json): z-scale augmentation + per-
+    # instance aniso peak sigma take the c5 aniso stress leg F1@IoU0.5
+    # 0.685 -> 0.882 while IMPROVING the isotropic control (0.965 -> 0.988)
     tr = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, conv_impl="native"),
+        data=dataclasses.replace(cfg.data, aug_zscale=(0.5, 1.0),
+                                 peak_sigma_aniso=True),
         train=dataclasses.replace(cfg.train, total_steps=200, warmup_steps=20,
                                   lr=1e-3, log_every=40, ckpt_every=100_000),
     )
@@ -276,8 +282,20 @@ def main():
                              bind_variables=variables0)
         _sync(inf1(p))
         t1 = _median_time(lambda: _sync(inf1(p)), reps=5)
+        # VERDICT r3 weak #7: on this axon-tunneled host a host-visible
+        # dispatch costs ~30 ms of fixed sync — ~60% of the 64^3 e2e time.
+        # Measure it (empty jitted program, same sync discipline) and quote
+        # the overhead-corrected number alongside, so the tiny-patch row
+        # isn't read as the chip's per-voxel speed.
+        noop = jax.jit(lambda x: x + 1)
+        _sync(noop(jnp.zeros((8,), jnp.float32)))
+        t_disp = _median_time(lambda: _sync(noop(jnp.zeros((8,), jnp.float32))),
+                              reps=5)
         detail["c1_patch64_fp32"] = {
-            "t_e2e_s": round(t1, 4), "mvox_s": round(p.size / t1 / 1e6, 3)}
+            "t_e2e_s": round(t1, 4), "mvox_s": round(p.size / t1 / 1e6, 3),
+            "t_dispatch_overhead_s": round(t_disp, 4),
+            "mvox_s_excl_dispatch": round(p.size / max(t1 - t_disp, 1e-9) / 1e6, 3),
+        }
 
         # ---- config 2: full stack, fp32 tiled ----
         c2 = make_cfg("float32")

@@ -87,3 +87,30 @@ def test_voxel_metrics():
 
     perfect = voxel_metrics(gt, gt)
     assert perfect["voxel_dice"] == 1.0 and perfect["voxel_iou"] == 1.0
+
+
+def test_center_criterion_order_invariant():
+    """VERDICT r3 weak #6: when one predicted instance contains several GT
+    centers, tp = number of DISTINCT claimed preds — the maximum bipartite
+    matching (each GT has exactly one candidate pred) — for ANY GT ordering.
+    Relabeling GT (permuting iteration order) must not change the metrics."""
+    import numpy as np
+
+    from tpuseg.eval import instance_metrics
+
+    pred = np.zeros((8, 8, 8), np.int32)
+    pred[0:4] = 1          # one big pred covering two GT instances
+    pred[5:8] = 2
+    gt = np.zeros((8, 8, 8), np.int32)
+    gt[0:2] = 1            # center z≈0.5 -> inside pred 1
+    gt[2:4] = 2            # center z≈2.5 -> inside pred 1 (already claimed)
+    gt[5:7] = 3            # inside pred 2
+
+    m1 = instance_metrics(pred, gt, criterion="center")
+    # permute GT ids: 1<->3 reverses which GT hits pred 1 first
+    perm = np.zeros(4, np.int32)
+    perm[[1, 2, 3]] = [3, 2, 1]
+    m2 = instance_metrics(pred, perm[gt], criterion="center")
+    assert m1["tp"] == m2["tp"] == 2
+    for k in ("precision", "recall", "f1", "fp", "fn"):
+        assert m1[k] == m2[k], (k, m1[k], m2[k])

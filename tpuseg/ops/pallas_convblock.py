@@ -144,7 +144,20 @@ def _kernel(xp_hbm, B1_ref, sb1_ref, B2_ref, sb2_ref, out_hbm,
     h0 = s_idx * Hh
     rows_in = Hh + 4
 
+    # ablation knobs (floor decomposition, benchmarks/convblock_floor.py):
+    # "in_dma"/"out_dma"/"body" turn the respective stage into a no-op so the
+    # per-grid-step structural cost can be attributed. Output is garbage
+    # under any ablation — timing only.
+    class _NoopDma:
+        def start(self):
+            pass
+
+        def wait(self):
+            pass
+
     def copy_plane(plane, slot):
+        if "in_dma" in ablate:
+            return _NoopDma()
         return pltpu.make_async_copy(
             xp_hbm.at[plane, :, pl.ds(h0 * wp, rows_in * wp)],
             xp_ring.at[slot],
@@ -152,6 +165,8 @@ def _kernel(xp_hbm, B1_ref, sb1_ref, B2_ref, sb2_ref, out_hbm,
         )
 
     def out_dma(z, slot):
+        if "out_dma" in ablate:
+            return _NoopDma()
         return pltpu.make_async_copy(
             out_buf.at[slot],
             out_hbm.at[z, :, pl.ds(h0 * wp, Hh * wp)],
@@ -173,6 +188,8 @@ def _kernel(xp_hbm, B1_ref, sb1_ref, B2_ref, sb2_ref, out_hbm,
     def conv1_into(j):
         """T(j) <- conv1(xp planes j..j+2) for j in [0, D), else zeros."""
         slot = j % 3
+        if "body" in ablate:
+            return
 
         @pl.when(j < D)
         def _():
@@ -221,9 +238,10 @@ def _kernel(xp_hbm, B1_ref, sb1_ref, B2_ref, sb2_ref, out_hbm,
     def write_out(t0, rows):
         out_buf[z % 2, :, pl.ds(t0 * wp, R2 * wp)] = rows
 
-    _conv_pass(
-        t_ring, ((z + 2) % 3, z % 3, (z + 1) % 3), B2_ref, sb2_ref,
-        write_out, n_rows=Hh, wp=wp, R=R2, wmask=wm2, dtype=dtype)
+    if "body" not in ablate:
+        _conv_pass(
+            t_ring, ((z + 2) % 3, z % 3, (z + 1) % 3), B2_ref, sb2_ref,
+            write_out, n_rows=Hh, wp=wp, R=R2, wmask=wm2, dtype=dtype)
     out_dma(z, z % 2).start()
 
     @pl.when(z == D - 1)
@@ -255,11 +273,12 @@ def _pick_h_split(H, wp, ci, R, dtype, budget=68 * 1024 * 1024):
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "compute_dtype", "h_splits", "keep_wpad",
-                     "valid_w", "row_strip"))
+                     "valid_w", "row_strip", "ablate"))
 def fused_convblock_chw(x, w1, s1, b1, w2, s2, b2, *,
                         interpret: bool = False, compute_dtype="bfloat16",
                         h_splits: int | None = None, keep_wpad: bool = False,
-                        valid_w: int | None = None, row_strip: int = 16):
+                        valid_w: int | None = None, row_strip: int = 16,
+                        ablate: str = ""):
     """relu(aff2(conv2(relu(aff1(conv1(x)))))) for 3x3x3 SAME convs, Co=32.
 
     x: (D, Ci, H, W) — channel-second layout (use `to_chw`/`from_chw` to
@@ -303,8 +322,9 @@ def fused_convblock_chw(x, w1, s1, b1, w2, s2, b2, *,
     sb1 = jnp.concatenate([s1, b1]).astype(jnp.float32)[:, None]
     sb2 = jnp.concatenate([s2, b2]).astype(jnp.float32)[:, None]
 
-    kern = functools.partial(_kernel, D=D, H=H, W=W, Hh=Hh, wp=wp,
-                             R=row_strip, dtype=dtype)
+    kern = functools.partial(
+        _kernel, D=D, H=H, W=W, Hh=Hh, wp=wp, R=row_strip, dtype=dtype,
+        ablate=frozenset(a for a in ablate.split(",") if a))
     out = pl.pallas_call(
         kern,
         grid=(splits, D),
