@@ -103,7 +103,10 @@ def main():
 
     print(f"building {shape} ({gvox:.2f} GVox) memmap fixture...", flush=True)
     t0 = time.perf_counter()
-    centers, radii = build_volume(vol_path, shape)
+    # constant instance DENSITY across scales (the r3 1.2-GVox run used 2500
+    # ≈ 2070/GVox), so the 10+ GVox leg stresses the same per-voxel regime
+    n_inst = max(2500, int(round(2070 * gvox)))
+    centers, radii = build_volume(vol_path, shape, num_instances=n_inst)
     t_build = time.perf_counter() - t0
     print(f"  built in {t_build:.0f}s", flush=True)
 

@@ -39,7 +39,8 @@ from tpuseg.core import ModelConfig
 from tpuseg.core.dtypes import resolve
 from tpuseg.models.blocks import ConvBlock, Down
 from tpuseg.models.conv3d import Conv3D
-from tpuseg.ops.pallas_convblock import WPAD, fused_convblock_chw, to_chw
+from tpuseg.ops.pallas_convblock import (WPAD, fused_convblock_chw, pad_flat,
+                                         to_chw)
 
 
 def fused_apply_supported(config: ModelConfig) -> bool:
@@ -110,16 +111,18 @@ def make_fused_apply(model, *, h_splits: int | None = None,
         stats = variables["batch_stats"]
 
         # --- enc0 (fused, chw layout). C_in is tiny: to_chw is a cheap
-        # relayout (a pure reshape for C_in == 1). keep_wpad: the output
-        # stays lane-padded (masked zeros = SAME padding) so the decoder
-        # chain below never re-pads W.
-        ww = x.shape[2]
+        # relayout (a pure reshape for C_in == 1). flat_out: the output
+        # stays in the kernel's (d, 32, h*wp) layout — the decoder chain
+        # below links blocks through pad_flat (one minor-dim pad copy)
+        # instead of the 4-D pad+reshape relayouts (~10 ms/GB, Perfetto r4).
+        dd, hh, ww = x.shape[0], x.shape[1], x.shape[2]
         wp = -(-(ww + 2 * WPAD) // 128) * 128
         x_chw = to_chw(x.astype(dtype))
-        skip0 = fused_convblock_chw(
+        skip0_flat = fused_convblock_chw(
             x_chw, *_block_args(params["enc0"], stats["enc0"]),
             compute_dtype=cfg.compute_dtype, h_splits=h_splits,
-            keep_wpad=True, interpret=interpret)        # (d, 32, h, wp)
+            flat_out=True, interpret=interpret)         # (d, 32, h*wp)
+        skip0 = skip0_flat.reshape(dd, 32, hh, wp)      # mid net needs 4-D
 
         # --- mid net in NDHWC via the flax modules (one relayout in)
         h = jnp.transpose(skip0[:, :, :, WPAD:WPAD + ww],
@@ -139,19 +142,22 @@ def make_fused_apply(model, *, h_splits: int | None = None,
             h = sub(up_blocks[i - 1], params[f"up{i}"]["block"],
                     stats[f"up{i}"]["block"], x=h, train=False)
 
-        # --- up0: upsampled conv in NDHWC, then concat + block in chw
+        # --- up0: upsampled conv in NDHWC, then concat + block chained FLAT
         h = sub(up_convs[0], params["up0"]["up_conv"], x=h)[0]  # (d,h,w,32)
-        h_chw = jnp.pad(to_chw(h.astype(dtype)),
-                        ((0, 0), (0, 0), (0, 0), (WPAD, wp - ww - WPAD)))
-        t = jnp.concatenate([h_chw, skip0], axis=1)       # (d, 64, h, wp)
+        h_flat = jnp.pad(to_chw(h.astype(dtype)),
+                         ((0, 0), (0, 0), (0, 0), (WPAD, wp - ww - WPAD))
+                         ).reshape(dd, 32, hh * wp)
+        t = pad_flat(jnp.concatenate([h_flat, skip0_flat], axis=1), wp)
         t = fused_convblock_chw(
             t, *_block_args(params["up0"]["block"], stats["up0"]["block"]),
             compute_dtype=cfg.compute_dtype, h_splits=h_splits,
-            valid_w=ww, keep_wpad=True, interpret=interpret)
+            flat_in=(hh, wp, ww), flat_out=True, interpret=interpret)
         t = fused_convblock_chw(
-            t, *_block_args(params["head_trunk"], stats["head_trunk"]),
+            pad_flat(t, wp),
+            *_block_args(params["head_trunk"], stats["head_trunk"]),
             compute_dtype=cfg.compute_dtype, h_splits=h_splits,
-            valid_w=ww, keep_wpad=True, interpret=interpret)
+            flat_in=(hh, wp, ww), flat_out=True, interpret=interpret)
+        t = t.reshape(dd, 32, hh, wp)
 
         # --- 1x1x1 heads: contract the channel sublanes in chw layout
         def head(p):

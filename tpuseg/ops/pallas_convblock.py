@@ -128,21 +128,41 @@ def _conv_pass(src_ring, slots, B_ref, sb_ref, dst_write, *, n_rows, wp, R,
         dst_write(t0, y.astype(dtype))
 
 
-def _kernel(xp_hbm, B1_ref, sb1_ref, B2_ref, sb2_ref, out_hbm,
-            xp_ring, t_ring, out_buf, dma_sems, out_sems,
+def _kernel(xp_hbm, B1_hbm, sb1_hbm, B2_hbm, sb2_hbm, out_hbm,
+            xp_ring, t_ring, out_buf, B1_ref, sb1_ref, B2_ref, sb2_ref,
+            dma_sems, out_sems, w_sems,
             *, D, H, W, Hh, wp, R, dtype, ablate=frozenset()):
-    """Grid (h_splits, D); input planes and output planes move through
-    manual double-buffered DMA (both HBM operands are memory_space=ANY).
-    An earlier version used a pipelined out BlockSpec; Mosaic's per-step
-    block staging cost ~107 us/step — an empty body measured 12 ms on the
-    flagship block — so the output pipeline is hand-rolled, per the
-    double-buffering pattern. (A fully in-kernel z loop compiled >14 min;
-    the grid form compiles in ~1 min.)
+    """Grid (h_splits, D); EVERY HBM operand is memory_space=ANY and moves
+    through manual double-buffered DMA. An earlier version used a pipelined
+    out BlockSpec; Mosaic's per-step block staging cost ~107 us/step — an
+    empty body measured 12 ms on the flagship block — so the output pipeline
+    is hand-rolled, per the double-buffering pattern. (A fully in-kernel z
+    loop compiled >14 min; the grid form compiles in ~1 min.)
+
+    The weights/affines ride the same rule (r4): as VMEM-BlockSpec inputs
+    Mosaic re-staged all ~110 KB of them EVERY grid step — the ablation
+    bench measured a 9.8 ms pure-grid floor (~87 us/step) on the r3 block
+    with a completely empty body, which is exactly those copies. They are
+    now DMA'd ONCE into persistent scratch at the first grid step
+    (benchmarks/convblock_floor.py 'body,in_dma,out_dma' leg: 9.8 ms ->
+    ~0.1 ms).
     """
     s_idx = pl.program_id(0)
     z = pl.program_id(1)
     h0 = s_idx * Hh
     rows_in = Hh + 4
+
+    # one-time weight staging (first grid step; scratch persists after)
+    @pl.when((s_idx == 0) & (z == 0))
+    def _():
+        cps = [pltpu.make_async_copy(src, dst, w_sems.at[i])
+               for i, (src, dst) in enumerate(
+                   ((B1_hbm, B1_ref), (sb1_hbm, sb1_ref),
+                    (B2_hbm, B2_ref), (sb2_hbm, sb2_ref)))]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
 
     # ablation knobs (floor decomposition, benchmarks/convblock_floor.py):
     # "in_dma"/"out_dma"/"body" turn the respective stage into a no-op so the
@@ -270,15 +290,30 @@ def _pick_h_split(H, wp, ci, R, dtype, budget=68 * 1024 * 1024):
     raise ValueError(f"no h-split fits VMEM for H={H}, Wp={wp}, Ci={ci}")
 
 
+def pad_flat(y, wp: int):
+    """Flat-layout SAME padding: (D, C, H*wp) -> (D+4, C, (H+4)*wp).
+
+    Identical values to ``pad(..., ((1,3),(0,0),(2,2),(0,0)))`` on the 4-D
+    view followed by the row flatten — but expressed directly on the flat
+    layout, where the h pad is a MINOR-DIM pad by 2*wp (a whole number of
+    (8,128) lane tiles): XLA emits one pad copy and NO relayout. The 4-D
+    route costs pad + copy + materializing reshape ≈ 3 x 3.3 ms per GB at
+    the flagship tile (Perfetto, r4) — this is the cheap chaining link
+    between fused blocks (``flat_in``/``flat_out``).
+    """
+    return jnp.pad(y, ((1, 3), (0, 0), (2 * wp, 2 * wp)))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "compute_dtype", "h_splits", "keep_wpad",
-                     "valid_w", "row_strip", "ablate"))
+                     "valid_w", "row_strip", "ablate", "flat_in", "flat_out"))
 def fused_convblock_chw(x, w1, s1, b1, w2, s2, b2, *,
                         interpret: bool = False, compute_dtype="bfloat16",
                         h_splits: int | None = None, keep_wpad: bool = False,
                         valid_w: int | None = None, row_strip: int = 16,
-                        ablate: str = ""):
+                        ablate: str = "", flat_in: tuple | None = None,
+                        flat_out: bool = False):
     """relu(aff2(conv2(relu(aff1(conv1(x)))))) for 3x3x3 SAME convs, Co=32.
 
     x: (D, Ci, H, W) — channel-second layout (use `to_chw`/`from_chw` to
@@ -290,32 +325,51 @@ def fused_convblock_chw(x, w1, s1, b1, w2, s2, b2, *,
     (zeros outside the valid window) and can feed the next call directly
     with ``valid_w=<true W>`` — the W re-pad between chained blocks is
     skipped (the masked zeros ARE the SAME padding).
+
+    Flat chaining (r4, the fast path): ``flat_out=True`` returns the raw
+    kernel layout (D, CO, H*wp) with no reshape (the 4-D reshape is a
+    materializing relayout — ~3.3 ms/GB); ``flat_in=(H, wp, W)`` accepts
+    (D+4, Ci, (H+4)*wp) input ALREADY padded by :func:`pad_flat`. A chain
+    link is then ``pad_flat(block(...flat_out=True), wp)`` — one pad copy
+    instead of pad + copy + reshape.
     """
     dtype = jnp.dtype(compute_dtype)
-    D, ci, H, Wfull = x.shape
-    if valid_w is not None:
-        if Wfull % 128:
-            raise ValueError("valid_w requires a lane-padded input")
-        W, wp, prepadded = valid_w, Wfull, True
+    if flat_in is not None:
+        H, wp, W = flat_in
+        Dp, ci, flat = x.shape
+        D = Dp - 4
+        assert flat == (H + 4) * wp, (x.shape, flat_in)
+        assert ci % CI_ALIGN == 0, "flat_in requires pre-aligned channels"
+        assert w1.shape[:4] == (3, 3, 3, ci), (w1.shape, x.shape)
+        assert w2.shape == (3, 3, 3, CO, CO), w2.shape
+        splits = h_splits or _pick_h_split(H, wp, ci, row_strip, dtype)
+        Hh = H // splits
+        xq = x.astype(dtype)
     else:
-        W = Wfull
-        wp = -(-(W + 2 * WPAD) // 128) * 128
-        prepadded = False
-    assert w1.shape[:4] == (3, 3, 3, ci), (w1.shape, x.shape)
-    assert w2.shape == (3, 3, 3, CO, CO), w2.shape
-    if ci % CI_ALIGN:  # Mosaic sublane tiling: pad ci with zero channels
-        cpad = CI_ALIGN - ci % CI_ALIGN
-        x = jnp.pad(x, ((0, 0), (0, cpad), (0, 0), (0, 0)))
-        w1 = jnp.pad(w1, ((0, 0),) * 3 + ((0, cpad), (0, 0)))
-        ci += cpad
-    splits = h_splits or _pick_h_split(H, wp, ci, row_strip, dtype)
-    Hh = H // splits
+        D, ci, H, Wfull = x.shape
+        if valid_w is not None:
+            if Wfull % 128:
+                raise ValueError("valid_w requires a lane-padded input")
+            W, wp, prepadded = valid_w, Wfull, True
+        else:
+            W = Wfull
+            wp = -(-(W + 2 * WPAD) // 128) * 128
+            prepadded = False
+        assert w1.shape[:4] == (3, 3, 3, ci), (w1.shape, x.shape)
+        assert w2.shape == (3, 3, 3, CO, CO), w2.shape
+        if ci % CI_ALIGN:  # Mosaic sublane tiling: pad ci with zero channels
+            cpad = CI_ALIGN - ci % CI_ALIGN
+            x = jnp.pad(x, ((0, 0), (0, cpad), (0, 0), (0, 0)))
+            w1 = jnp.pad(w1, ((0, 0),) * 3 + ((0, cpad), (0, 0)))
+            ci += cpad
+        splits = h_splits or _pick_h_split(H, wp, ci, row_strip, dtype)
+        Hh = H // splits
 
-    # pad: z by (1, 3): +1 SAME front, +1 SAME back, +2 DMA prefetch overrun;
-    # h by (2, 2): conv2's T halo needs conv1 one row further out
-    wpads = (0, 0) if prepadded else (WPAD, wp - W - WPAD)
-    xp = jnp.pad(x.astype(dtype), ((1, 3), (0, 0), (2, 2), wpads))
-    xq = xp.reshape(D + 4, ci, (H + 4) * wp)   # rows flattened into lanes
+        # pad: z by (1, 3): +1 SAME front, +1 SAME back, +2 DMA prefetch
+        # overrun; h by (2, 2): conv2's T halo needs conv1 one row further out
+        wpads = (0, 0) if prepadded else (WPAD, wp - W - WPAD)
+        xp = jnp.pad(x.astype(dtype), ((1, 3), (0, 0), (2, 2), wpads))
+        xq = xp.reshape(D + 4, ci, (H + 4) * wp)  # rows flattened into lanes
 
     B1 = pack_weights_33(w1, dtype)
     B2 = pack_weights_33(w2, dtype)
@@ -328,21 +382,20 @@ def fused_convblock_chw(x, w1, s1, b1, w2, s2, b2, *,
     out = pl.pallas_call(
         kern,
         grid=(splits, D),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((D, CO, H * wp), dtype),
         scratch_shapes=[
             pltpu.VMEM((4, ci, (Hh + 4) * wp), dtype),
             pltpu.VMEM((3, CO, (Hh + 2) * wp), dtype),
             pltpu.VMEM((2, CO, Hh * wp), dtype),
+            pltpu.VMEM((3, 3 * ci, 3 * CO), dtype),
+            pltpu.VMEM((2 * CO, 1), jnp.float32),
+            pltpu.VMEM((3, 3 * CO, 3 * CO), dtype),
+            pltpu.VMEM((2 * CO, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -350,8 +403,10 @@ def fused_convblock_chw(x, w1, s1, b1, w2, s2, b2, *,
         ),
         interpret=interpret,
     )(xq, B1, sb1, B2, sb2)
+    if flat_out:
+        return out                       # (D, CO, H*wp), kernel layout
     out = out.reshape(D, CO, H, wp)
-    if keep_wpad:
+    if keep_wpad or flat_in is not None:
         return out
     return out[:, :, :, WPAD:WPAD + W] if not prepadded else out
 
