@@ -104,3 +104,54 @@ def test_fold_bn_affine_matches_flax_eval(eps):
     s, b = fold_bn_affine(bn, eps=eps)
     np.testing.assert_allclose(np.asarray(x * s + b), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pad_flat_matches_4d_pad():
+    """pad_flat on the flat layout == 4-D SAME pad + row flatten, bitwise."""
+    import numpy as np
+
+    from tpuseg.ops.pallas_convblock import pad_flat
+
+    rng = np.random.default_rng(0)
+    D, C, H, wp = 3, 4, 8, 128
+    y4 = rng.standard_normal((D, C, H, wp)).astype(np.float32)
+    flat = jnp.asarray(y4.reshape(D, C, H * wp))
+    got = np.asarray(pad_flat(flat, wp))
+    want = np.pad(y4, ((1, 3), (0, 0), (2, 2), (0, 0))).reshape(
+        D + 4, C, (H + 4) * wp)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_flat_chain_matches_4d_chain():
+    """Two blocks chained through flat_in/flat_out + pad_flat must equal the
+    4-D keep_wpad/valid_w route bitwise (same kernel, same input bits)."""
+    import numpy as np
+
+    from tpuseg.ops.pallas_convblock import (CO, WPAD, fused_convblock_chw,
+                                             pad_flat)
+
+    rng = np.random.default_rng(1)
+    D, ci, H, W = 6, 32, 16, 96
+    wp = -(-(W + 2 * WPAD) // 128) * 128
+    x = jnp.asarray(rng.standard_normal((D, ci, H, W)) * 0.3, jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 3, ci, CO)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, 3, CO, CO)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (CO,)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-0.1, 0.1, (CO,)), jnp.float32)
+    kw = dict(compute_dtype="bfloat16", interpret=True)
+
+    # 4-D route
+    y1 = fused_convblock_chw(x, w1, s, b, w2, s, b, keep_wpad=True, **kw)
+    y2 = fused_convblock_chw(y1, w2, s, b, w2, s, b, valid_w=W,
+                             keep_wpad=True, **kw)
+
+    # flat route
+    f1 = fused_convblock_chw(x, w1, s, b, w2, s, b, flat_out=True, **kw)
+    f2 = fused_convblock_chw(pad_flat(f1, wp), w2, s, b, w2, s, b,
+                             flat_in=(H, wp, W), flat_out=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(y1, np.float32), np.asarray(f1.reshape(D, CO, H, wp),
+                                               np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(y2, np.float32), np.asarray(f2.reshape(D, CO, H, wp),
+                                               np.float32))
