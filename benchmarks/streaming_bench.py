@@ -107,6 +107,8 @@ def main():
     # ≈ 2070/GVox), so the 10+ GVox leg stresses the same per-voxel regime
     n_inst = max(2500, int(round(2070 * gvox)))
     centers, radii = build_volume(vol_path, shape, num_instances=n_inst)
+    np.save("/tmp/stream_centers.npy", centers)  # kept for FP diagnosis
+    np.save("/tmp/stream_radii.npy", radii)
     t_build = time.perf_counter() - t0
     print(f"  built in {t_build:.0f}s", flush=True)
 
@@ -171,11 +173,13 @@ def main():
         "device": str(jax.devices()[0]),
         "host_label_buffer": "int32 memmap (4 B/voxel); no full-volume int64",
     }
-    with open(OUT_JSON, "w") as f:
+    out_json = os.environ.get("TPUSEG_STREAM_JSON", OUT_JSON)
+    with open(out_json, "w") as f:
         json.dump(res, f, indent=2)
     print(json.dumps(res))
-    os.remove(vol_path)
-    os.remove(lab_path)
+    if not os.environ.get("TPUSEG_STREAM_KEEP"):
+        os.remove(vol_path)
+        os.remove(lab_path)
 
 
 if __name__ == "__main__":
