@@ -141,9 +141,10 @@ def _seed_kernel(radius, h0, hz, hy, bz, by, h, w,
 
 _SEED_BLOCKS = ((16, 32), (8, 32), (8, 16), (8, 8))
 # live window arrays through the kernel (peak, fg win, maxpool temps, lin,
-# dirs, v, chase temps) — calibrated conservatively from the resolve kernels'
-# measured boundaries (ops/pallas_resolve.py)
-_SEED_LIVE = 14
+# dirs, v, chase temps) — CALIBRATED against a measured compile boundary:
+# at (128,1024,1024)/r=2 the (8,16) block's scoped allocation was 106.0 MB
+# = 16.9 window-sized arrays (Mosaic OOM dump, r4) -> 18 with margin
+_SEED_LIVE = 18
 _VMEM_BUDGET = 100 * 1024 * 1024
 
 
