@@ -124,7 +124,14 @@ def main():
         data=dataclasses.replace(
             cfg.data, normalize_pcts=(1.0, adaptive_upper_pct(frac))),
         postproc=dataclasses.replace(
-            cfg.postproc, fg_target_fraction=frac, peak_threshold=0.35))
+            cfg.postproc, fg_target_fraction=frac, peak_threshold=0.35,
+            # prominence agglomeration (ops/merge.py): the aniso-trained
+            # peak head is z-flat on these 0.6-compressed blobs and bf16
+            # ripple fires duplicate z-seeds (~4% over-segmentation,
+            # diagnosed r4: FP centroids |dz|~2.5, |dyx|~0.3 off GT
+            # centers); saddle ratio 0.8 collapses flat-top splits while
+            # touching pairs keep their valley
+            merge_saddle_ratio=0.8))
 
     vol = np.load(vol_path, mmap_mode="r")
     out = np.lib.format.open_memmap(lab_path, mode="w+", dtype=np.int32,

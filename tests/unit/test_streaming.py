@@ -251,3 +251,20 @@ def test_stream_normalization_spill_path_identical(cfg, volume, tmp_path):
     b = stream_infer(model, cfg, variables, raw, chunk_z=16, halo=8,
                      normalize=True, sample_cache_bytes=0)
     np.testing.assert_array_equal(a, b)
+
+
+def test_stream_with_saddle_merge_equals_fused(cfg, volume):
+    """merge_saddle_ratio engaged: streamed chunks and the fused pipeline
+    must still agree elementwise (identical windows merge identically)."""
+    import dataclasses
+
+    model = AnalyticNet()
+    variables = {"params": {}}
+    v = np.asarray(percentile_normalize(volume.image))
+    c = dataclasses.replace(cfg, postproc=dataclasses.replace(
+        cfg.postproc, merge_saddle_ratio=0.5, merge_max_pairs=1024))
+    want = np.asarray(make_infer_fn(model, c, normalize=False)(
+        variables, jnp.asarray(v)))
+    got = stream_infer(model, c, variables, v, chunk_z=16, halo=8,
+                       normalize=False)
+    np.testing.assert_array_equal(got, want)

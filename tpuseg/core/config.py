@@ -63,6 +63,14 @@ class PostprocConfig:
                                      # ~2x mask inflation of box supervision;
                                      # derive from annotations via
                                      # calibrate.expected_fg_fraction
+    merge_saddle_ratio: float = 0.0  # >0: agglomerate adjacent basins whose
+                                     # interface saddle >= ratio * the weaker
+                                     # basin's peak (ops/merge.py) — collapses
+                                     # duplicate-peak splits of flat-topped
+                                     # instances while keeping true touching
+                                     # pairs (their valley is deep); 0 = off
+    merge_max_pairs: int = 1 << 17   # static cap on distinct adjacent label
+                                     # pairs for the merge table
 
 
 @dataclass(frozen=True)

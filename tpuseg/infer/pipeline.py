@@ -53,6 +53,14 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         resolve_impl=cfg.postproc.resolve_impl,
         label_space="index",
     )
+    if cfg.postproc.merge_saddle_ratio > 0:
+        # prominence agglomeration (ops/merge.py): collapse basins split by
+        # flat-top duplicate peaks; real instances keep their valley
+        from tpuseg.ops.merge import saddle_merge
+
+        labels = saddle_merge(labels, peak_prob,
+                              cfg.postproc.merge_saddle_ratio,
+                              max_pairs=cfg.postproc.merge_max_pairs)
     return size_filter_and_compact(labels, cfg.postproc.min_size)
 
 

@@ -291,6 +291,15 @@ def make_sharded_infer_fn(
             nms_impl=cfg.postproc.nms_impl,
             resolve_impl=cfg.postproc.resolve_impl,
         )
+        if cfg.postproc.merge_saddle_ratio > 0:
+            # per-shard prominence agglomeration (ops/merge.py) on the
+            # extended slab: identical windows merge identically, so shards
+            # agree on in-halo basins — the watershed exactness argument
+            from tpuseg.ops.merge import saddle_merge
+
+            labels_ext = saddle_merge(
+                labels_ext, pk, cfg.postproc.merge_saddle_ratio,
+                max_pairs=cfg.postproc.merge_max_pairs)
         # 4b: packed-id reconciliation (VERDICT r2 #1a). Labels stay LOCAL
         # ext-slab linear indices in the volume; only the bounded per-shard
         # table carries each basin root's GLOBAL coordinate, as the int32

@@ -132,6 +132,14 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
             nms_impl=cfg.postproc.nms_impl,
             resolve_impl=cfg.postproc.resolve_impl,
         )
+        if cfg.postproc.merge_saddle_ratio > 0:
+            # per-chunk prominence agglomeration (ops/merge.py): identical
+            # windows give identical merges, so chunks agree on shared
+            # basins exactly like the watershed itself (halo validity)
+            from tpuseg.ops.merge import saddle_merge
+
+            labels = saddle_merge(labels, pk, cfg.postproc.merge_saddle_ratio,
+                                  max_pairs=cfg.postproc.merge_max_pairs)
         # crop ON DEVICE: only the core + the one overlap plane leave the
         # chip (device->host runs at ~27 MB/s through this tunnel — ext-
         # volume downloads dominated the round-1 streamed wall time)
@@ -230,6 +238,12 @@ def _make_sharded_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
             nms_impl=cfg.postproc.nms_impl,
             resolve_impl=cfg.postproc.resolve_impl,
         )
+        if cfg.postproc.merge_saddle_ratio > 0:
+            from tpuseg.ops.merge import saddle_merge
+
+            labels_ext = saddle_merge(
+                labels_ext, pk, cfg.postproc.merge_saddle_ratio,
+                max_pairs=cfg.postproc.merge_max_pairs)
         hly = hl + 2 * halo_y
         core_y = labels_ext[:, halo_y : halo_y + hl]    # full ext z range
 
