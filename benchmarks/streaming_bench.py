@@ -140,10 +140,13 @@ def main():
     # ext shapes) so the recorded throughput measures execution, not the
     # remote-tunnel compile (~minutes); persistent cache keeps reruns warm
     print("warmup (compile)...", flush=True)
-    stream_infer(model, cfg, variables, vol[:96], chunk_z=96, halo=16)
+    stream_infer(model, cfg, variables, vol[:64], chunk_z=64, halo=16)
     print("streaming inference...", flush=True)
     t0 = time.perf_counter()
-    labels = stream_infer(model, cfg, variables, vol, out=out, chunk_z=96,
+    # chunk_z 64 (r4): the saddle-merge transients on a (128, 1024, 1024)
+    # extended chunk pushed the joint program over HBM (worker crash);
+    # (96, 1024, 1024) ext chunks fit with margin
+    labels = stream_infer(model, cfg, variables, vol, out=out, chunk_z=64,
                           halo=16)
     dt = time.perf_counter() - t0
     n = int(labels.max())
@@ -175,7 +178,7 @@ def main():
         "pred_below_2x_min_size": int((pred_sizes < 2 * cfg.postproc.min_size).sum()),
         "calibrated": True,
         "normalize_upper_pct": round(adaptive_upper_pct(frac), 4),
-        "chunk_z": 96,
+        "chunk_z": 64,
         "halo": 16,
         "device": str(jax.devices()[0]),
         "host_label_buffer": "int32 memmap (4 B/voxel); no full-volume int64",

@@ -118,9 +118,18 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
         # as prob 0.0 — the caller subtracts them from bin 0
         return hist
 
+    # The chunk pipeline runs as TWO chained XLA programs (net | post) with a
+    # device-resident f32-probability handoff — the same "staged" trick as
+    # infer/pipeline.py program="staged": XLA assigns buffers per program, so
+    # peak HBM is max(stage peaks) instead of the joint program's sum. The
+    # joint form crashed the TPU worker once the saddle-merge sort
+    # transients joined the net sweep's buffers at GVoxel chunk shapes (r4).
     @jax.jit
-    def chunk_fn(variables, ext, lo, hi, mask_top, mask_bot, fg_thr):
-        fg, pk = forward(variables, ext, lo, hi, mask_top, mask_bot)
+    def chunk_net_fn(variables, ext, lo, hi, mask_top, mask_bot):
+        return forward(variables, ext, lo, hi, mask_top, mask_bot)
+
+    @jax.jit
+    def chunk_post_fn(fg, pk, fg_thr):
         labels = watershed(
             fg, pk,
             peak_threshold=cfg.postproc.peak_threshold,
@@ -133,20 +142,31 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
             resolve_impl=cfg.postproc.resolve_impl,
         )
         if cfg.postproc.merge_saddle_ratio > 0:
-            # per-chunk prominence agglomeration (ops/merge.py): identical
-            # windows give identical merges, so chunks agree on shared
-            # basins exactly like the watershed itself (halo validity)
-            from tpuseg.ops.merge import saddle_merge
+            # per-chunk prominence agglomeration (ops/merge.py): only the
+            # PASSING EDGE LIST leaves the device — the host finalize's
+            # union-find (which already merges chunk-boundary ids) applies
+            # them, so no on-device relabel runs at all. Identical windows
+            # derive identical edges, so chunks agree on shared basins
+            # exactly like the watershed itself (halo validity).
+            from tpuseg.ops.merge import saddle_merge_edges
 
-            labels = saddle_merge(labels, pk, cfg.postproc.merge_saddle_ratio,
-                                  max_pairs=cfg.postproc.merge_max_pairs)
+            me_lo, me_hi = saddle_merge_edges(
+                labels, pk, cfg.postproc.merge_saddle_ratio,
+                max_pairs=cfg.postproc.merge_max_pairs)
+        else:
+            me_lo = me_hi = jnp.zeros((0,), jnp.int32)
         # crop ON DEVICE: only the core + the one overlap plane leave the
         # chip (device->host runs at ~27 MB/s through this tunnel — ext-
         # volume downloads dominated the round-1 streamed wall time)
         core = labels[halo : halo + chunk_z]
         overlap = labels[halo + chunk_z] if halo + chunk_z < ext_shape_z \
             else jnp.zeros_like(labels[0])
-        return core, overlap  # int32 local ext-chunk indices (+1), unfiltered
+        # int32 local ext-chunk indices (+1), unfiltered
+        return core, overlap, me_lo, me_hi
+
+    def chunk_fn(variables, ext, lo, hi, mask_top, mask_bot, fg_thr):
+        fg, pk = chunk_net_fn(variables, ext, lo, hi, mask_top, mask_bot)
+        return chunk_post_fn(fg, pk, fg_thr)
 
     return fg_hist_fn, chunk_fn
 
@@ -303,7 +323,10 @@ def _make_sharded_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
         core = labels[halo : halo + chunk_z]
         overlap = labels[halo + chunk_z] if halo + chunk_z < ext_z \
             else jnp.zeros_like(labels[0])
-        return core, overlap
+        # merge runs on-device inside chunk_body (packed-id space) for the
+        # sharded variant; no edge export needed
+        empty = jnp.zeros((0,), jnp.int32)
+        return core, overlap, empty, empty
 
     return fg_hist_fn, chunk_fn
 
@@ -583,7 +606,7 @@ def stream_infer(
                 state["prev_overlap"] = np.where(
                     ov > 0, ov.astype(np.int64) + off, 0)
 
-    def process(ci, z0, z1, core_dev, overlap_dev):
+    def process(ci, z0, z1, core_dev, overlap_dev, me_lo_dev, me_hi_dev):
         cz = z1 - z0
         offset = np.int64(z0 - halo) * plane
         core = np.asarray(core_dev)[:cz]                 # int32 LOCAL ids
@@ -599,7 +622,17 @@ def stream_infer(
             if both.any():
                 edges_ci = np.stack([core0_global[both].ravel(),
                                      prev_overlap[both].ravel()], axis=-1)
-                edge_chunks.append(edges_ci)
+        # saddle-merge edges (ops/merge.py, r4): lifted to global ids like
+        # everything else and unioned by the SAME finalize closure
+        ml = np.asarray(me_lo_dev)
+        mh = np.asarray(me_hi_dev)
+        mv = ml != 2**31 - 1
+        if mv.any():
+            ge = np.stack([ml[mv].astype(np.int64) + offset,
+                           mh[mv].astype(np.int64) + offset], axis=-1)
+            edges_ci = np.concatenate([edges_ci, ge]) if edges_ci.size else ge
+        if edges_ci.size:
+            edge_chunks.append(edges_ci)
         if halo > 0 and z1 < D:
             nxt = np.asarray(overlap_dev)
             state["prev_overlap"] = np.where(
@@ -636,15 +669,15 @@ def stream_infer(
     for ci in range(start_ci, len(chunks)):
         z0, z1 = chunks[ci]
         ext_dev, mt, mb = nxt_up
-        core_dev, overlap_dev = chunk_fn(
+        core_dev, overlap_dev, me_lo_dev, me_hi_dev = chunk_fn(
             variables, ext_dev, lo_j, hi_j, mt, mb, fg_thr_j)
-        for a in (core_dev, overlap_dev):
+        for a in (core_dev, overlap_dev, me_lo_dev, me_hi_dev):
             a.copy_to_host_async()
         # read + upload chunk N+1 while chunk N computes
         nxt_up = _upload(ci + 1) if ci + 1 < len(chunks) else None
         if pending is not None:
             process(*pending)
-        pending = (ci, z0, z1, core_dev, overlap_dev)
+        pending = (ci, z0, z1, core_dev, overlap_dev, me_lo_dev, me_hi_dev)
     if pending is not None:
         process(*pending)
 

@@ -25,8 +25,8 @@ are not re-evaluated after merging; document when comparing to sequential
 agglomeration schemes).
 
 TPU realization (static shapes, no host): per axis, face pairs
-(lo, hi, min-side-value) are key-sorted by (lo, hi); a segmented max scan
-reduces equal pairs to one edge with the interface saddle; run-end edges
+(lo, hi, min-side-value) are key-sorted by (lo, hi, saddle) so each equal
+(lo, hi) run ends at its max — the interface saddle; run-end edges
 compact (one more sort) into a bounded ``max_pairs`` table; basin maxima are
 two tiny gathers of ``peak[root]``; the passing edges close under a
 scatter-min union-find (log rounds over the bounded table) — the same
@@ -52,30 +52,20 @@ from tpuseg.ops.neighbors import shift
 _SENT = 2**31 - 1
 
 
-def _seg_max(run_id, vals):
-    """Segmented running max of ``vals`` within equal-``run_id`` runs."""
-    def op(a, b):
-        ra, va = a
-        rb, vb = b
-        return rb, jnp.where(ra == rb, jnp.maximum(va, vb), vb)
-
-    _, out = lax.associative_scan(op, (run_id, vals))
-    return out
-
-
 @partial(jax.jit, static_argnames=("max_pairs",))
-def saddle_merge_table(labels, peak_prob, ratio, max_pairs: int = 1 << 17):
-    """Edges + union-find closure for the saddle-ratio merge.
+def saddle_merge_edges(labels, peak_prob, ratio, max_pairs: int = 1 << 17):
+    """The PASSING merge edges, without closure or apply.
 
-    labels: int32 root-index labels (watershed label_space="index");
-    peak_prob: the potential the watershed ran on. Returns ``(keys, roots)``
-    — ascending label values (SENT-padded, 6*max_pairs slots) and the label each
-    merges into (its union-find root, = min label of the merged group).
-    ``ratio`` may be a traced scalar.
+    Returns ``(e_lo, e_hi)`` int32 arrays of 3*max_pairs slots (SENT where
+    unused): label pairs whose interface saddle passes the ratio test. The
+    streamed path feeds these (offset-lifted to global ids) straight into
+    its host union-find finalize — no on-device relabel at all; the
+    on-device path closes them with :func:`saddle_merge_table`.
 
-    Candidate edges beyond ``max_pairs`` are dropped deterministically
-    (largest (lo, hi) pairs first); the cap is a static bound on DISTINCT
-    adjacent label pairs, which is O(instances), not O(voxels).
+    Candidate edges beyond ``max_pairs`` per axis are dropped
+    deterministically (largest (lo, hi) pairs first); the cap is a static
+    bound on DISTINCT adjacent label pairs, which is O(instances), not
+    O(voxels).
     """
     n = labels.size
     flat_peak = peak_prob.astype(jnp.float32).ravel()
@@ -93,20 +83,19 @@ def saddle_merge_table(labels, peak_prob, ratio, max_pairs: int = 1 << 17):
         sad = jnp.where(
             m, jnp.minimum(peak_prob.astype(jnp.float32), pv), -jnp.inf
         ).ravel()
-        # 2-key sort brings equal (lo, hi) pairs together; masked entries
-        # (SENT, SENT) sort to the end
-        slo, shi, ssad = lax.sort((lo, hi, sad), num_keys=2, is_stable=False)
-        prev_lo = jnp.concatenate([jnp.full((1,), -1, slo.dtype), slo[:-1]])
-        prev_hi = jnp.concatenate([jnp.full((1,), -1, shi.dtype), shi[:-1]])
-        newrun = (slo != prev_lo) | (shi != prev_hi)
-        run_id = jnp.cumsum(newrun.astype(jnp.int32))
-        runmax = _seg_max(run_id, ssad)
-        nxt = jnp.concatenate([newrun[1:], jnp.ones((1,), bool)])
-        is_edge = nxt & (slo != _SENT)      # run end of a real pair
+        # 3-KEY sort: equal (lo, hi) pairs group together with saddle
+        # ASCENDING inside each run, so the run-END element carries the
+        # run's max saddle directly — no segmented scan needed (an
+        # associative_scan here blew up the remote compiler at GVoxel
+        # chunk shapes)
+        slo, shi, ssad = lax.sort((lo, hi, sad), num_keys=3, is_stable=False)
+        nxt_lo = jnp.concatenate([slo[1:], jnp.full((1,), -1, slo.dtype)])
+        nxt_hi = jnp.concatenate([shi[1:], jnp.full((1,), -1, shi.dtype)])
+        is_edge = ((slo != nxt_lo) | (shi != nxt_hi)) & (slo != _SENT)
 
         # compact this axis's edges into the bounded table
         ek, eh, es = lax.sort(
-            (jnp.where(is_edge, slo, _SENT), shi, runmax), num_keys=2,
+            (jnp.where(is_edge, slo, _SENT), shi, ssad), num_keys=2,
             is_stable=False)
         return ek[:max_pairs], eh[:max_pairs], es[:max_pairs]
 
@@ -121,12 +110,22 @@ def saddle_merge_table(labels, peak_prob, ratio, max_pairs: int = 1 << 17):
     p_hi = flat_peak[jnp.clip(e_hi - 1, 0, n - 1)]
     passing = valid & (
         e_sad >= jnp.float32(ratio) * jnp.minimum(p_lo, p_hi))
+    return jnp.where(passing, e_lo, _SENT), jnp.where(passing, e_hi, _SENT)
+
+
+@partial(jax.jit, static_argnames=("max_pairs",))
+def saddle_merge_table(labels, peak_prob, ratio, max_pairs: int = 1 << 17):
+    """Edges + union-find closure for the saddle-ratio merge.
+
+    Returns ``(keys, roots)`` — ascending label values (SENT-padded,
+    6*max_pairs slots) and the label each merges into (its union-find root,
+    = min label of the merged group). ``ratio`` may be a traced scalar.
+    """
+    u, v = saddle_merge_edges(labels, peak_prob, ratio, max_pairs)
 
     # union-find closure over the passing edges (scatter-min + pointer jump
     # over the bounded key table — parallel/reconcile's algorithm)
-    u = jnp.where(passing, e_lo, _SENT)
-    v = jnp.where(passing, e_hi, _SENT)
-    keys = jnp.sort(jnp.concatenate([u, v]))           # (2*max_pairs,)
+    keys = jnp.sort(jnp.concatenate([u, v]))           # (6*max_pairs,)
     pu = jnp.searchsorted(keys, u).astype(jnp.int32)
     pv = jnp.searchsorted(keys, v).astype(jnp.int32)
     m = keys.shape[0]
