@@ -429,7 +429,12 @@ def main():
             for vname, (vtile, vhalo) in variants.items():
                 ch = dataclasses.replace(
                     c3,
-                    infer=dataclasses.replace(c3.infer, tile=vtile, halo=vhalo),
+                    # c6 measures HALO configs on the flax apply: the fused
+                    # kernel's flat intermediates exceed HBM at the
+                    # single-tile variants, and the leg's r2/r3 numbers are
+                    # flax-path baselines
+                    infer=dataclasses.replace(c3.infer, tile=vtile,
+                                              halo=vhalo, apply_impl="flax"),
                     postproc=dataclasses.replace(
                         c3.postproc, fg_target_fraction=frac_h))
                 infh = make_infer_fn(model, ch, bind_variables=trained)
