@@ -56,6 +56,55 @@ def test_jit_compiles_and_is_deterministic(small_model):
     assert not jnp.isnan(a["fg_logits"]).any()
 
 
+def test_train_batchnorm_matches_flax():
+    """TrainBatchNorm (r5: f32 stats reduced from bf16, folded bf16 apply)
+    == nn.BatchNorm(use_running_average=False) — outputs at bf16 rounding
+    tolerance, updated running stats tight, gradients close."""
+    import numpy as np
+    from flax import linen as nn
+
+    from tpuseg.models.blocks import TrainBatchNorm
+
+    x = (jax.random.normal(jax.random.key(0), (4, 8, 8, 8, 16))
+         * 3.0 + 1.5).astype(jnp.bfloat16)
+    fast = TrainBatchNorm(dtype=jnp.bfloat16)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
+                       dtype=jnp.float32)
+    vf = fast.init(jax.random.key(1), x)
+    vr = ref.init(jax.random.key(1), x.astype(jnp.float32))
+    # non-trivial affine so the fold is exercised
+    sc = jax.random.uniform(jax.random.key(2), (16,), minval=0.5, maxval=2.0)
+    bi = jax.random.normal(jax.random.key(3), (16,)) * 0.3
+    vf = {"params": {"scale": sc, "bias": bi}, "batch_stats": vf["batch_stats"]}
+    vr = {"params": {"scale": sc, "bias": bi}, "batch_stats": vr["batch_stats"]}
+
+    yf, mf = fast.apply(vf, x, mutable=["batch_stats"])
+    yr, mr = ref.apply(vr, x.astype(jnp.float32), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf, np.float32),
+                               np.asarray(yr.astype(jnp.bfloat16), np.float32),
+                               rtol=0.02, atol=0.05)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(mf["batch_stats"][k]),
+                                   np.asarray(mr["batch_stats"][k]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def loss_fast(p):
+        y, _ = fast.apply({"params": p, "batch_stats": vf["batch_stats"]},
+                          x, mutable=["batch_stats"])
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_ref(p):
+        y, _ = ref.apply({"params": p, "batch_stats": vr["batch_stats"]},
+                         x.astype(jnp.float32), mutable=["batch_stats"])
+        return jnp.sum(y.astype(jnp.bfloat16).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_fast)(vf["params"])
+    gr = jax.grad(loss_ref)(vr["params"])
+    for k in ("scale", "bias"):
+        np.testing.assert_allclose(np.asarray(gf[k]), np.asarray(gr[k]),
+                                   rtol=0.05, atol=0.5)
+
+
 def test_train_mode_updates_batch_stats(small_model):
     model, variables = small_model
     x = jax.random.normal(jax.random.key(2), (2, 16, 16, 16, 1))

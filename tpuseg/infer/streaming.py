@@ -155,6 +155,13 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
                 max_pairs=cfg.postproc.merge_max_pairs)
         else:
             me_lo = me_hi = jnp.zeros((0,), jnp.int32)
+        # convergence diagnostic as an ordinary output (VERDICT r4 weak #4):
+        # nonzero iff flood_iters truncated this chunk's fixed point. Counted
+        # over the full ext window (halo voxels recount across chunks — an
+        # upper bound, but zero remains exact).
+        from tpuseg.ops.watershed import flood_truncation_count
+
+        n_trunc = flood_truncation_count(labels, fg >= fg_thr)
         # crop ON DEVICE: only the core + the one overlap plane leave the
         # chip (device->host runs at ~27 MB/s through this tunnel — ext-
         # volume downloads dominated the round-1 streamed wall time)
@@ -162,7 +169,7 @@ def _make_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
         overlap = labels[halo + chunk_z] if halo + chunk_z < ext_shape_z \
             else jnp.zeros_like(labels[0])
         # int32 local ext-chunk indices (+1), unfiltered
-        return core, overlap, me_lo, me_hi
+        return core, overlap, me_lo, me_hi, n_trunc
 
     def chunk_fn(variables, ext, lo, hi, mask_top, mask_bot, fg_thr):
         fg, pk = chunk_net_fn(variables, ext, lo, hi, mask_top, mask_bot)
@@ -299,9 +306,13 @@ def _make_sharded_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
             mine = rename_to_packed(core_y[:, 0], table, idx_y, cap)
             edges = boundary_edges(mine, theirs)
 
+        from tpuseg.ops.watershed import flood_truncation_count
+
+        n_trunc = lax.psum(
+            flood_truncation_count(labels_ext, fg >= fg_thr), axis)
         return packed_merge_to_coord_labels(
             core_p, ent_hi, ent_lo, edges, axis, cap, n_y,
-            encode_stride=hl * n_y * ww)
+            encode_stride=hl * n_y * ww), n_trunc
 
     spec_vol = P(None, axis, None)
 
@@ -315,10 +326,10 @@ def _make_sharded_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
 
     @jax.jit
     def chunk_fn(variables, ext, lo, hi, mask_top, mask_bot, fg_thr):
-        labels = shard_map(
+        labels, n_trunc = shard_map(
             chunk_body, mesh=mesh,
             in_specs=(P(), spec_vol, P(), P(), P(), P(), P()),
-            out_specs=spec_vol, check_rep=False,
+            out_specs=(spec_vol, P()), check_rep=False,
         )(variables, ext, lo, hi, mask_top, mask_bot, fg_thr)
         core = labels[halo : halo + chunk_z]
         overlap = labels[halo + chunk_z] if halo + chunk_z < ext_z \
@@ -326,7 +337,7 @@ def _make_sharded_chunk_fns(model, cfg: Config, halo: int, chunk_z: int,
         # merge runs on-device inside chunk_body (packed-id space) for the
         # sharded variant; no edge export needed
         empty = jnp.zeros((0,), jnp.int32)
-        return core, overlap, empty, empty
+        return core, overlap, empty, empty, n_trunc
 
     return fg_hist_fn, chunk_fn
 
@@ -458,29 +469,34 @@ def stream_infer(
         est_bytes = D * H * len(range(0, W, stride)) * est_itemsize
         spill_dir = (tempfile.mkdtemp(prefix="tpuseg_normcache_")
                      if est_bytes > sample_cache_bytes else None)
-        sample_chunks = []
-        gmin, gmax = np.inf, -np.inf
-        for i, (z0, z1) in enumerate(chunks):
-            c = np.asarray(volume[z0:z1])
-            cf = c if c.dtype == np.float32 else c.astype(np.float32)
-            gmin, gmax = min(gmin, float(cf.min())), max(gmax, float(cf.max()))
-            s = np.ascontiguousarray(c[..., ::stride])
+        # try/finally: the spill dir holds up to sample_cache_bytes of temp
+        # files — reclaim it even when the sweep raises (ADVICE r4)
+        try:
+            sample_chunks = []
+            gmin, gmax = np.inf, -np.inf
+            for i, (z0, z1) in enumerate(chunks):
+                c = np.asarray(volume[z0:z1])
+                cf = c if c.dtype == np.float32 else c.astype(np.float32)
+                gmin = min(gmin, float(cf.min()))
+                gmax = max(gmax, float(cf.max()))
+                s = np.ascontiguousarray(c[..., ::stride])
+                if spill_dir is not None:
+                    np.save(_os.path.join(spill_dir, f"s{i:06d}.npy"), s)
+                    sample_chunks.append(None)
+                else:
+                    sample_chunks.append(s)
+            span = max(gmax - gmin, 1e-12)
+            hist = np.zeros(bins, np.int64)
+            n_sampled = 0
+            for i in range(len(chunks)):
+                c = (np.load(_os.path.join(spill_dir, f"s{i:06d}.npy"))
+                     if spill_dir is not None else sample_chunks[i])
+                hist += _chunk_histogram(c, gmin, span, bins)
+                n_sampled += c.size
+            sample_chunks = None
+        finally:
             if spill_dir is not None:
-                np.save(_os.path.join(spill_dir, f"s{i:06d}.npy"), s)
-                sample_chunks.append(None)
-            else:
-                sample_chunks.append(s)
-        span = max(gmax - gmin, 1e-12)
-        hist = np.zeros(bins, np.int64)
-        n_sampled = 0
-        for i in range(len(chunks)):
-            c = (np.load(_os.path.join(spill_dir, f"s{i:06d}.npy"))
-                 if spill_dir is not None else sample_chunks[i])
-            hist += _chunk_histogram(c, gmin, span, bins)
-            n_sampled += c.size
-        sample_chunks = None
-        if spill_dir is not None:
-            shutil.rmtree(spill_dir, ignore_errors=True)
+                shutil.rmtree(spill_dir, ignore_errors=True)
         # fp32 fraction-form CDF — the same arithmetic (and, with the x-axis
         # stride, the same voxel sample) as the fused/sharded paths
         cdf = np.cumsum(hist.astype(np.float32) / np.float32(n_sampled))
@@ -606,8 +622,16 @@ def stream_infer(
                 state["prev_overlap"] = np.where(
                     ov > 0, ov.astype(np.int64) + off, 0)
 
-    def process(ci, z0, z1, core_dev, overlap_dev, me_lo_dev, me_hi_dev):
+    def process(ci, z0, z1, core_dev, overlap_dev, me_lo_dev, me_hi_dev,
+                ntr_dev):
         cz = z1 - z0
+        nt = int(np.asarray(ntr_dev))
+        if nt and stats is not None:
+            # flood-cap truncation, summed over chunks (ext windows overlap,
+            # so this upper-bounds the distinct voxel count; zero iff every
+            # chunk's flood converged) — the real-chip-visible channel
+            stats["flood_truncated_voxels"] = (
+                stats.get("flood_truncated_voxels", 0) + nt)
         offset = np.int64(z0 - halo) * plane
         core = np.asarray(core_dev)[:cz]                 # int32 LOCAL ids
         result[z0:z1] = core                             # lifted at finalize
@@ -669,15 +693,16 @@ def stream_infer(
     for ci in range(start_ci, len(chunks)):
         z0, z1 = chunks[ci]
         ext_dev, mt, mb = nxt_up
-        core_dev, overlap_dev, me_lo_dev, me_hi_dev = chunk_fn(
+        core_dev, overlap_dev, me_lo_dev, me_hi_dev, ntr_dev = chunk_fn(
             variables, ext_dev, lo_j, hi_j, mt, mb, fg_thr_j)
-        for a in (core_dev, overlap_dev, me_lo_dev, me_hi_dev):
+        for a in (core_dev, overlap_dev, me_lo_dev, me_hi_dev, ntr_dev):
             a.copy_to_host_async()
         # read + upload chunk N+1 while chunk N computes
         nxt_up = _upload(ci + 1) if ci + 1 < len(chunks) else None
         if pending is not None:
             process(*pending)
-        pending = (ci, z0, z1, core_dev, overlap_dev, me_lo_dev, me_hi_dev)
+        pending = (ci, z0, z1, core_dev, overlap_dev, me_lo_dev, me_hi_dev,
+                   ntr_dev)
     if pending is not None:
         process(*pending)
 

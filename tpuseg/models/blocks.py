@@ -67,6 +67,70 @@ class EvalBatchNorm(nn.Module):
                 + b.astype(self.dtype))
 
 
+class TrainBatchNorm(nn.Module):
+    """Train-mode BatchNorm with bf16 folded application (r5 train-MFU fix).
+
+    ``nn.BatchNorm(use_running_average=False, dtype=f32)`` on an f32-cast
+    input materializes full f32 copies of the activation around every
+    norm: the c4 train-step trace shows ~57 ms/step (43% of the 132 ms
+    device step) in convert/reduce fusions from exactly this pattern.
+    Here the f32 statistics are reduced DIRECTLY from the bf16 input (the
+    bf16->f32 convert is exact and fuses INTO the reduction — no f32
+    activation is ever stored), and the normalization collapses to a
+    per-channel affine applied in the compute dtype, which XLA fuses into
+    the surrounding bf16 chain (ReLU / next conv) — the train-mode analog
+    of :class:`EvalBatchNorm`'s fold.
+
+    Contract vs flax's module: SAME variable tree (params: scale/bias;
+    batch_stats: mean/var, f32) so checkpoints interchange; statistics and
+    running-stat updates are computed with the same formulas (mean,
+    E[x^2]-mean^2 variance, ``momentum`` EMA, ``axis_name`` pmean sync) on
+    the same values, so the updated stats match flax's to f32 roundoff;
+    the OUTPUT differs only by bf16 rounding of the folded (scale, bias)
+    — tested against flax at bf16 tolerance (tests/unit/test_model.py).
+    Gradients flow through mean/var exactly as in standard train-mode BN
+    (autodiff of this expression IS the BN backward)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        red = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)  # fuses into the reduces; never stored
+        mean = jnp.mean(xf, axis=red)
+        mean2 = jnp.mean(jnp.square(xf), axis=red)
+        if self.axis_name is not None:
+            mean = jax.lax.pmean(mean, self.axis_name)
+            mean2 = jax.lax.pmean(mean2, self.axis_name)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        a = scale.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
+        b = bias.astype(jnp.float32) - mean * a
+        # apply in f32 ARITHMETIC with bf16 boundaries: the converts fuse
+        # (no f32 tensor is stored), and — decisive for training — the
+        # backward cotangents stay f32, so autodiff's per-channel
+        # scale/bias-gradient reductions accumulate in f32. A bf16-applied
+        # fold was measured to push those reduces to bf16 accumulation
+        # (~40% scale-grad error on a 32k-element layer).
+        return (xf * a + b).astype(self.dtype)
+
+
 class ConvBlock(nn.Module):
     """(Conv3x3x3 -> norm -> act) twice."""
 
@@ -100,15 +164,18 @@ class ConvBlock(nn.Module):
             # fuses it into the surrounding bf16 chain.
             if self.norm == "batch":
                 if train:
-                    x = nn.BatchNorm(
-                        use_running_average=False,
+                    # f32 stats reduced straight from bf16, normalization
+                    # folded to a bf16 affine — see TrainBatchNorm (the
+                    # flax module's f32 round-trips cost 43% of the c4
+                    # train step, measured benchmarks/profile_train.py r5)
+                    x = TrainBatchNorm(
                         momentum=0.9,
                         epsilon=1e-5,
-                        dtype=jnp.float32,
+                        dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         axis_name=self.bn_axis,
                         name=f"norm{i}",
-                    )(x.astype(jnp.float32)).astype(self.dtype)
+                    )(x)
                 else:
                     # Eval-mode BN as a folded per-channel affine in the
                     # COMPUTE dtype. flax's nn.BatchNorm always forms

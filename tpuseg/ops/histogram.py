@@ -32,5 +32,16 @@ def bin_counts(idx: jnp.ndarray, bins: int) -> jnp.ndarray:
     ``jnp.zeros((bins,), jnp.int32).at[idx.ravel()].add(1)`` exactly.
     """
     s = lax.sort(idx.ravel(), is_stable=False)
-    edges = jnp.searchsorted(s, jnp.arange(bins + 1, dtype=s.dtype))
+    # edge finding: binary search ("scan") costs log2(n)*bins random
+    # gathers (~125 M elem/s) which serialize badly under vmap — the c4
+    # train step spent ~9 ms/step there on 8x262k example histograms
+    # (benchmarks/profile_train.py r5). "sort" streams one extra
+    # (n + bins)-element sort instead: cheaper until the array is large
+    # enough that re-sorting beats the fixed gather count (25M-voxel
+    # inference volumes keep "scan"). Both methods return identical
+    # indices, so counts — and every cross-path parity contract — are
+    # unchanged bit-for-bit.
+    method = "sort" if s.size <= (1 << 21) else "scan"
+    edges = jnp.searchsorted(s, jnp.arange(bins + 1, dtype=s.dtype),
+                             method=method)
     return (edges[1:] - edges[:-1]).astype(jnp.int32)

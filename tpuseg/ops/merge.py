@@ -48,6 +48,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tpuseg.ops.neighbors import shift
+from tpuseg.utils.debug import cond_print
 
 _SENT = 2**31 - 1
 
@@ -93,7 +94,16 @@ def saddle_merge_edges(labels, peak_prob, ratio, max_pairs: int = 1 << 17):
         nxt_hi = jnp.concatenate([shi[1:], jnp.full((1,), -1, shi.dtype)])
         is_edge = ((slo != nxt_lo) | (shi != nxt_hi)) & (slo != _SENT)
 
-        # compact this axis's edges into the bounded table
+        # compact this axis's edges into the bounded table; surface cap
+        # overflow like the shard_max_labels diagnostics (ADVICE r4 —
+        # dropped merges were silent before)
+        n_edges = jnp.sum(is_edge.astype(jnp.int32))
+        cond_print(
+            n_edges > max_pairs,
+            "saddle merge: {n} distinct adjacent label pairs on axis "
+            + str(axis) + " exceed max_pairs=" + str(max_pairs)
+            + "; largest pairs dropped — raise PostprocConfig."
+            "merge_max_pairs", n=n_edges)
         ek, eh, es = lax.sort(
             (jnp.where(is_edge, slo, _SENT), shi, ssad), num_keys=2,
             is_stable=False)

@@ -21,7 +21,8 @@ Halo-validity (the exactness argument, per ops/pallas_resolve.py): a core
 value after ``h0`` chase steps depends on dirs within ``h0`` and on v0
 within ``h0``; dirs at distance d needs peak/fg at d+1 and seeds at d;
 seeds at distance d needs peak within d+2r (candidate max-pool + plateau
-tie-break). So halo = h0 + 2r per axis (y rounded to the 8-sublane tile)
+tie-break). So halo = h0 + max(2r, 1) per axis (the max with 1 covers the
+dirs stencil when a radius component is 0; y rounded to the 8-sublane tile)
 makes the core bitwise-equal to the global-lockstep composition — asserted
 elementwise against the unfused ops in tests/unit/test_pallas_seed.py and
 by the watershed dispatcher's parity tests.
@@ -152,8 +153,12 @@ def seed_block(shape, radius, h0: int):
     """Largest block whose halo'd window fits the VMEM budget, or None."""
     d, h, w = shape
     rz, ry, _ = radius
-    hz = h0 + 2 * rz
-    hy = _round_up(h0 + 2 * ry, 8)
+    # max(2r, 1): dirs at chase distance h0 read peak/fg one step further
+    # out, so a zero radius component still needs a 1-voxel margin (ADVICE
+    # r4 — without it the fused path diverges from the unfused composition
+    # near block boundaries for e.g. radius=(0, 2, 2))
+    hz = h0 + max(2 * rz, 1)
+    hy = _round_up(h0 + max(2 * ry, 1), 8)
     for bz, by in _SEED_BLOCKS:
         if (d % bz == 0 and h % by == 0
                 and (bz + 2 * hz) * (by + 2 * hy) * w * 4 * _SEED_LIVE
@@ -186,8 +191,8 @@ def seed_chase_pass(peak_prob, fg_prob, peak_threshold, fg_threshold,
                 f"no seed block fits shape {tuple(peak_prob.shape)}; guard "
                 "with seed_pass_supported")
     bz, by = block
-    hz = h0 + 2 * rz
-    hy = _round_up(h0 + 2 * ry, 8)
+    hz = h0 + max(2 * rz, 1)
+    hy = _round_up(h0 + max(2 * ry, 1), 8)
     grid = (d // bz, h // by)
     thr = jnp.stack([jnp.asarray(peak_threshold, jnp.float32),
                      jnp.asarray(fg_threshold, jnp.float32)]).reshape(1, 2)

@@ -51,9 +51,18 @@ def initialize(
     # IMPORTANT: jax.process_count()/jax.devices() would initialize the XLA
     # backend, after which jax.distributed.initialize refuses to run — probe
     # the distributed client state directly instead (no backend touch).
-    from jax._src import distributed as _jax_distributed
+    # jax._src.distributed is a private internal (observed stable across the
+    # jax 0.4-0.8 line); if a future jax moves it, fall through to the
+    # public initialize() and catch its already-initialized error (ADVICE
+    # r4 — never let the probe itself crash the bootstrap).
+    already = None
+    try:
+        from jax._src import distributed as _jax_distributed
 
-    if getattr(_jax_distributed.global_state, "client", None) is not None:
+        already = getattr(_jax_distributed.global_state, "client", None) is not None
+    except Exception:
+        pass  # probe unavailable: rely on the RuntimeError catch below
+    if already:
         return jax.process_count() > 1  # already initialized earlier
     coordinator = coordinator or os.environ.get("TPUSEG_COORDINATOR")
     if num_processes is None and "TPUSEG_NUM_PROCESSES" in os.environ:
@@ -64,11 +73,18 @@ def initialize(
         return False  # single-process run; nothing to do
     if num_processes is not None and num_processes <= 1:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # the probe above missed (or was unavailable) and the runtime is
+        # already up — jax raises "Distributed initialization should only be
+        # called once" / "backend ... already initialized"
+        if "already" not in str(e).lower():
+            raise
     return jax.process_count() > 1
 
 

@@ -49,7 +49,8 @@ def train(
         from tpuseg.train.val import split_volumes
 
         volumes, val_volumes = split_volumes(
-            volumes, cfg.train.val_fraction, cfg.train.seed)
+            volumes, cfg.train.val_fraction, cfg.train.seed,
+            min_depth=cfg.data.patch_size[0])
     val_eval = None
     if val_volumes:
         from tpuseg.train.val import make_val_eval

@@ -37,6 +37,7 @@ def split_volumes(
     volumes: Sequence[SyntheticVolume],
     val_fraction: float,
     seed: int = 0,
+    min_depth: int = 1,
 ) -> Tuple[List[SyntheticVolume], List[SyntheticVolume]]:
     """Deterministic (seed-keyed) train/val split.
 
@@ -64,10 +65,14 @@ def split_volumes(
     (vol,) = vols
     d = vol.image.shape[0]
     d_val = int(np.ceil(val_fraction * d))
-    if not 0 < d_val < d:
+    # both slabs must fit at least one patch (ADVICE r4: a slab shallower
+    # than the patch makes PatchSampler clip origins negative and crash)
+    if d_val < min_depth or d - d_val < min_depth:
         raise ValueError(
-            f"single-volume split needs 0 < val planes < {d}; "
-            f"val_fraction={val_fraction} gives {d_val}")
+            f"single-volume split needs >= {min_depth} z planes on each "
+            f"side (patch depth); val_fraction={val_fraction} on D={d} gives "
+            f"val={d_val}/train={d - d_val}. Use a larger val_fraction, a "
+            "deeper volume, or pass whole val volumes.")
     cut = d - d_val
 
     def slab(z0, z1):
