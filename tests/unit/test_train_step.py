@@ -279,3 +279,61 @@ def test_bn_grad_accum_drift_bounded():
     rel = (num / den) ** 0.5
     assert rel > 0.0         # BN batch stats DO couple microbatches...
     assert rel < 0.02, rel   # ...but the drift is bounded (documented)
+
+
+def test_fused_train_step_matches_flax():
+    """apply_impl='fused' (models/fused_train.py) == the flax step: same
+    loss/grad-norm at trace-equivalent tolerance, same stats tree, params
+    move. Interpret-mode kernels on CPU; real-chip speed rides bench c4."""
+    import dataclasses
+
+    from tpuseg.models.fused_train import make_fused_train_apply
+    from tpuseg.train.step import loss_fn
+
+    cfg = Config(
+        model=ModelConfig(features=(32, 64), head_features=32,
+                          compute_dtype="float32"),
+        data=DataConfig(patch_size=(8, 16, 64), batch_size=2,
+                        max_instances=8),
+        train=TrainConfig(total_steps=4, warmup_steps=1),
+    )
+    vol = synthesize_volume(shape=(16, 32, 64), num_instances=4, seed=2)
+    model = build_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    sampler = PatchSampler([vol], patch_size=cfg.data.patch_size,
+                           batch_size=2, max_instances=8, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in sampler.next_batch().items()}
+    rng = jax.random.key(3)
+
+    apply_fn = make_fused_train_apply(model, interpret=True)
+    (lf, (mf, sf)), gf = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, state.batch_stats, model, batch, cfg, rng, 0, apply_fn)
+    (lr, (mr, sr)), gr = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, state.batch_stats, model, batch, cfg, rng, 0, None)
+
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-3)
+    assert jax.tree.structure(sf) == jax.tree.structure(sr)
+    for a, b in zip(jax.tree.leaves(sf), jax.tree.leaves(sr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gf),
+                            jax.tree.leaves(gr)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = max(float(np.abs(b).max()), 1e-6)
+        rel = float(np.abs(a - b).max()) / denom
+        assert rel < 5e-2, (jax.tree_util.keystr(path), rel)
+
+    # the full step runs through make_train_step with apply_impl="fused"
+    fcfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, apply_impl="fused"))
+    # interpret-mode kernels for the CPU test platform
+    import tpuseg.models.fused_train as ft
+    orig = ft.make_fused_train_apply
+    ft.make_fused_train_apply = lambda m, **kw: orig(m, interpret=True, **kw)
+    try:
+        step = jax.jit(make_train_step(model, fcfg))
+        new_state, metrics = step(state, batch, rng)
+    finally:
+        ft.make_fused_train_apply = orig
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1

@@ -115,6 +115,12 @@ class TrainConfig:
                                   # larger effective batch at 1/k activation
                                   # memory; see train/step.py)
     data_axis: str = "data"       # DP mesh axis name
+    apply_impl: str = "flax"      # train-mode forward: "flax" (autodiff all
+                                  # the way) or "fused" (full-res convs on
+                                  # the packed Mosaic custom_vjp kernels —
+                                  # models/fused_train.py; requires the
+                                  # flagship family + a supported
+                                  # batch/patch shape)
     prefetch_depth: int = 2       # background batches sampled+uploaded ahead
                                   # of the device (data/prefetch.py); 0 = the
                                   # synchronous in-loop sampling

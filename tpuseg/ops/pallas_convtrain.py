@@ -1,0 +1,326 @@
+"""Training-path Mosaic conv kernel for the full-resolution U-Net levels.
+
+Why (VERDICT r4 "next" #1, benchmarks/profile_train.py): at the training
+batch shape (8, 64^3, C=32) XLA assigns the C-minor layout — 32 of 128
+lanes — and every schedule probed (native/zpack/z-merged batch/W=128/
+H=128) lands at 6-11% MFU for conv fwd+bwd; the full-res convs are ~83 ms
+of the 132 ms c4 step. The eval-path Mosaic ConvBlock
+(ops/pallas_convblock.py) measured ~47% MFU by flattening rows into lanes,
+but its (h, Wp)-per-row layout wastes half the lanes at W=64 (wp rounds to
+128) and it has no gradient path.
+
+This module is the TRAINING twin, built around three ideas:
+
+* **Sample-pair lane packing** (``pack2_w``): two batch samples share one
+  128-lane row segment ``[a_row | b_row]`` (W=64), so the lanes are 100%
+  live with NO alignment pad. The 3x3x3 conv's +-1 x-taps are lane rolls
+  whose cross-sample leakage is killed by masking the last/first column of
+  each W-half BEFORE the roll — the masked zeros land exactly where SAME
+  zero padding belongs, so the packed conv is bitwise the per-sample conv.
+  General ``wp // W`` halves: W=128 packs one sample (mask only kills the
+  roll wrap), W=64 packs two.
+
+* **Single-conv kernel, explicit zero pads** (``flat_conv3x3``): grid
+  (pairs, D) with the eval kernel's 4-plane input ring / double-buffered
+  output DMA, but one conv per call and the h halo carried as REAL zero
+  rows in the input (training H fits VMEM whole — no h-splits, no row
+  masking). BatchNorm(train)/ReLU stay in XLA on the flat (P, D, C, S)
+  layout: C sits in sublanes there, which is the layout where XLA's
+  per-channel reductions and affines are actually efficient.
+
+* **custom_vjp** (``conv3x3_p2``): dx is the SAME kernel run on the
+  cotangent with spatially-flipped, ci<->co-swapped weights (conv
+  transpose == conv with flipped kernel for stride-1 SAME); dw is 27
+  per-tap ``dot_general`` contractions over the flat spatial axis in XLA.
+  Gradients therefore accumulate in f32 through the same MXU path as the
+  forward.
+
+Parity: tests/unit/test_pallas_convtrain.py asserts the packed conv and
+BOTH gradients against ``lax.conv_general_dilated`` autodiff, including
+across sample-pair boundaries. NORTH-STAR: "forward/backward lowers to
+XLA/Pallas 3D conv kernels in bf16" — this closes the backward half.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuseg.ops.pallas_convblock import pack_weights_33
+
+CO = 32          # full-res output channels (flagship family)
+CI_ALIGN = 16    # sublane tile: input channels pad up to this
+LANE = 128
+
+
+def pack2_w(x: jax.Array) -> jax.Array:
+    """(N, D, H, W, C) NDHWC -> (P, D, C, H * (nw*W)) flat packed.
+
+    ``nw = LANE // W`` samples share each 128-lane row segment (nw must
+    divide N). The lane index decomposes as (h, member, w): segment h
+    holds members' row h side by side."""
+    n, d, h, w, c = x.shape
+    nw = LANE // w
+    assert LANE % w == 0 and n % nw == 0, (x.shape,)
+    p = n // nw
+    # (P, nw, D, H, W, C) -> (P, D, C, H, nw, W)
+    xr = x.reshape(p, nw, d, h, w, c).transpose(0, 2, 5, 3, 1, 4)
+    return xr.reshape(p, d, c, h * nw * w)
+
+
+def unpack2_w(y: jax.Array, n: int, w: int) -> jax.Array:
+    """Inverse of :func:`pack2_w`: (P, D, C, H*(nw*W)) -> (N, D, H, W, C)."""
+    p, d, c, s = y.shape
+    nw = LANE // w
+    h = s // (nw * w)
+    yr = y.reshape(p, d, c, h, nw, w).transpose(0, 4, 1, 3, 5, 2)
+    return yr.reshape(n, d, h, w, c)
+
+
+def flip_w(w: jax.Array) -> jax.Array:
+    """(3,3,3,Ci,Co) -> the conv-transpose kernel (3,3,3,Co,Ci):
+    spatially flipped, in/out channels swapped."""
+    return w[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)
+
+
+def _conv_kernel(xp_hbm, B_hbm, out_hbm, xp_ring, out_buf, B_ref,
+                 dma_sems, out_sems, w_sems, *, P, D, rows, wp, W, R, ci,
+                 co, dtype):
+    """Grid (P, D). xp_hbm: (P*(D+4), ci, (rows+2)*wp) zero-padded
+    planes/rows, pair-major; out_hbm: (P*D, co, rows*wp). One 3x3x3 SAME
+    conv, raw (pre-norm) out. Leading dims arrive pre-flattened so every
+    HBM DMA indexes ONE dynamic dimension."""
+    p = pl.program_id(0)
+    z = pl.program_id(1)
+    Rwp = R * wp
+    dn = (((0,), (0,)), ((), ()))
+
+    @pl.when((p == 0) & (z == 0))
+    def _():
+        c = pltpu.make_async_copy(B_hbm, B_ref, w_sems.at[0])
+        c.start()
+        c.wait()
+
+    def copy_plane(plane, slot):
+        return pltpu.make_async_copy(
+            xp_hbm.at[p * (D + 4) + plane], xp_ring.at[slot],
+            dma_sems.at[slot])
+
+    def out_dma(zz, slot):
+        return pltpu.make_async_copy(
+            out_buf.at[slot], out_hbm.at[p * D + zz], out_sems.at[slot])
+
+    # ---- input ring: planes z..z+2 resident, z+3 in flight ----
+    @pl.when(z == 0)
+    def _():
+        for q in range(3):
+            copy_plane(q, q).start()
+        for q in range(3):
+            copy_plane(q, q).wait()
+        copy_plane(3, 3).start()
+
+    @pl.when(z > 0)
+    def _():
+        copy_plane(z + 2, (z + 2) % 4).wait()
+
+        # prefetch exactly the planes a later step will WAIT for (the last
+        # compute step z = D-1 reads planes up to D+1): an end-of-pair
+        # prefetch that nobody waits races the next pair's bootstrap
+        # overwriting its slot — this wedged the chip in the first on-HW run
+        @pl.when(z < D - 1)
+        def _():
+            copy_plane(z + 3, (z + 3) % 4).start()
+
+    @pl.when(z >= 2)
+    def _():
+        out_dma(z - 2, z % 2).wait()
+
+    # cross-sample x-tap masks: zero the last (first) column of each W-half
+    # BEFORE the +1 (-1) lane roll, so rolled-in values at half boundaries
+    # (and the wrap) are the SAME-pad zeros (module docstring)
+    lane = lax.broadcasted_iota(jnp.int32, (1, Rwp), 1) % W
+    m_last = (lane != W - 1).astype(jnp.float32)
+    m_first = (lane != 0).astype(jnp.float32)
+    s0, s1, s2 = z % 4, (z + 1) % 4, (z + 2) % 4
+
+    for i in range(-(-rows // R)):
+        t0 = min(i * R, rows - R)
+
+        def u(dy):
+            off = (t0 + dy) * wp
+            return jnp.concatenate(
+                [xp_ring[s0, :, pl.ds(off, Rwp)],
+                 xp_ring[s1, :, pl.ds(off, Rwp)],
+                 xp_ring[s2, :, pl.ds(off, Rwp)]], axis=0)  # (3ci, R*wp)
+
+        acc = lax.dot_general(B_ref[0], u(0), dn,
+                              preferred_element_type=jnp.float32)
+        acc += lax.dot_general(B_ref[1], u(1), dn,
+                               preferred_element_type=jnp.float32)
+        acc += lax.dot_general(B_ref[2], u(2), dn,
+                               preferred_element_type=jnp.float32)
+        y = (pltpu.roll(acc[0:co] * m_last, 1, axis=1)
+             + acc[co:2 * co]
+             + pltpu.roll(acc[2 * co:3 * co] * m_first, Rwp - 1, axis=1))
+        out_buf[z % 2, :, pl.ds(t0 * wp, Rwp)] = y.astype(dtype)
+
+    out_dma(z, z % 2).start()
+
+    @pl.when(z == D - 1)
+    def _():
+        if D >= 2:
+            out_dma(D - 2, (D - 2) % 2).wait()
+        out_dma(D - 1, (D - 1) % 2).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "compute_dtype",
+                                             "valid_w", "row_strip"))
+def flat_conv3x3(x, w, *, valid_w: int, interpret: bool = False,
+                 compute_dtype="bfloat16", row_strip: int = 16):
+    """Raw 3x3x3 SAME conv on the packed flat layout.
+
+    x: (P, D, Ci, rows*wp) bf16 (pack2_w output), wp = LANE-multiple with
+    ``valid_w`` = per-sample W (wp//W samples per segment). w:
+    (3,3,3,Ci,Co), any Co (padded to the sublane tile internally — the dx
+    pass runs this same kernel with ci/co swapped). Returns
+    (P, D, Co, rows*wp) in the same layout — pre-norm conv output (use XLA
+    for affine/activation; they fuse)."""
+    dtype = jnp.dtype(compute_dtype)
+    P, D, ci, s = x.shape
+    wp = LANE * max(1, (valid_w + LANE - 1) // LANE)
+    assert wp % LANE == 0 and s % wp == 0, (x.shape, valid_w)
+    rows = s // wp
+    assert w.shape[:4] == (3, 3, 3, ci), (w.shape, x.shape)
+    co = w.shape[4]
+    if ci % CI_ALIGN:
+        cpad = CI_ALIGN - ci % CI_ALIGN
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cpad), (0, 0)))
+        w = jnp.pad(w, ((0, 0),) * 3 + ((0, cpad), (0, 0)))
+        ci += cpad
+    co_pad = -(-co // CI_ALIGN) * CI_ALIGN
+    if co_pad != co:
+        w = jnp.pad(w, ((0, 0),) * 4 + ((0, co_pad - co),))
+    assert D >= 2, "kernel pipeline needs at least 2 z planes"
+    # explicit zero halo: z by (1, 3) (SAME front/back + DMA prefetch
+    # overrun), rows by 1 segment each side (SAME h pad)
+    xq = jnp.pad(x.astype(dtype), ((0, 0), (1, 3), (0, 0), (wp, wp)))
+    xq = xq.reshape(P * (D + 4), ci, (rows + 2) * wp)
+    B = pack_weights_33(w, dtype)
+
+    kern = functools.partial(
+        _conv_kernel, P=P, D=D, rows=rows, wp=wp, W=valid_w,
+        R=min(row_strip, rows), ci=ci, co=co_pad, dtype=dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(P, D),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((P * D, co_pad, rows * wp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, ci, (rows + 2) * wp), dtype),
+            pltpu.VMEM((2, co_pad, rows * wp), dtype),
+            pltpu.VMEM((3, 3 * ci, 3 * co_pad), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, B)
+    out = out.reshape(P, D, co_pad, rows * wp)
+    return out if co_pad == co else out[:, :, :co]
+
+
+def _dw_taps(x, dy, ci, valid_w: int):
+    """dw[kd,kh,kw,ci,co] from flat x (P,D,Ci,rows*wp) and cotangent dy
+    (P,D,CO,rows*wp): 27 per-tap dot_generals contracting the whole
+    (P, D, S) spatial extent in f32. The +-1 x-taps are lane rolls with the
+    same half-boundary masks as the kernel."""
+    P, D, _, s = x.shape
+    wp = LANE * max(1, (valid_w + LANE - 1) // LANE)
+    rows = s // wp
+    W = valid_w
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (wp, wp)))
+    lane = jnp.arange(s, dtype=jnp.int32) % W
+    m_last = (lane != W - 1).astype(x.dtype)
+    m_first = (lane != 0).astype(x.dtype)
+    dn = (((0, 1, 3), (0, 1, 3)), ((), ()))  # contract P, D, S -> (Ci, CO)
+
+    taps = []
+    for kd in range(3):
+        for kh in range(3):
+            xs = lax.dynamic_slice(
+                xp, (0, kd, 0, kh * wp), (P, D, xp.shape[2], rows * wp))
+            for kw in range(3):
+                if kw == 0:        # x[w-1] pairs dy[w]: shift x right
+                    xt = jnp.roll(xs * m_last, 1, axis=3)
+                elif kw == 2:
+                    xt = jnp.roll(xs * m_first, -1, axis=3)
+                else:
+                    xt = xs
+                taps.append(lax.dot_general(
+                    xt, dy, dn, preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(3, 3, 3, xp.shape[2], dy.shape[2])
+    return dw[:, :, :, :ci]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv3x3_p2(x, w, valid_w: int, interpret: bool = False,
+               compute_dtype="bfloat16"):
+    """Differentiable packed-flat 3x3x3 SAME conv (see module docstring).
+
+    x: (P, D, Ci, rows*wp); w: (3,3,3,Ci,Co) (any float dtype — cast to
+    ``compute_dtype`` like models/conv3d.py). Returns (P, D, Co, rows*wp)
+    in ``compute_dtype``."""
+    cd = jnp.dtype(compute_dtype)
+    return flat_conv3x3(x, w.astype(cd), valid_w=valid_w,
+                        interpret=interpret, compute_dtype=compute_dtype)
+
+
+def _conv_fwd(x, w, valid_w, interpret, compute_dtype):
+    cd = jnp.dtype(compute_dtype)
+    y = flat_conv3x3(x, w.astype(cd), valid_w=valid_w, interpret=interpret,
+                     compute_dtype=compute_dtype)
+    return y, (x, w)
+
+
+def _conv_bwd(valid_w, interpret, compute_dtype, res, dy):
+    x, w = res
+    cd = jnp.dtype(compute_dtype)
+    dy = dy.astype(cd)
+    # dx: conv of the cotangent with the flipped/transposed kernel
+    dx = flat_conv3x3(dy, flip_w(w).astype(cd), valid_w=valid_w,
+                      interpret=interpret,
+                      compute_dtype=compute_dtype)[:, :, :x.shape[2]]
+    dw = _dw_taps(x.astype(cd), dy, x.shape[2], valid_w).astype(w.dtype)
+    return dx.astype(x.dtype), dw
+
+
+conv3x3_p2.defvjp(_conv_fwd, _conv_bwd)
+
+
+def xla_conv3x3(x_ndhwc, w, dtype=jnp.bfloat16):
+    """lax reference of the same conv (NDHWC, SAME, bf16) for parity tests."""
+    return lax.conv_general_dilated(
+        x_ndhwc.astype(dtype), w.astype(dtype), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def convtrain_supported(batch: int, patch, ci: int, co: int) -> bool:
+    """The packed kernel covers the flagship training family: CO=32, W in
+    {64, 128} with the sample count divisible by the pack factor, D >= 2,
+    H a multiple of 8 (sublane-tiled rows)."""
+    d, h, w = patch
+    if co != CO or w not in (64, 128):
+        return False
+    nw = LANE // w
+    return batch % nw == 0 and d >= 2 and h % 8 == 0

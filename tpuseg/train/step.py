@@ -124,14 +124,21 @@ def prepare_batch(batch: Dict[str, jnp.ndarray], cfg: Config, rng: jax.Array,
 
 
 def loss_fn(params, batch_stats, model, batch, cfg: Config, rng: jax.Array,
-            example_offset=0):
+            example_offset=0, apply_fn=None):
     imgs, tgts = prepare_batch(batch, cfg, rng, example_offset=example_offset)
-    out, new_vars = model.apply(
-        {"params": params, "batch_stats": batch_stats},
-        imgs, train=True, mutable=["batch_stats"],
-    )
+    if apply_fn is not None:
+        # fused train forward (models/fused_train.py): same (out, stats)
+        # contract as the flax apply below, full-res convs on Pallas
+        out, new_stats = apply_fn(
+            {"params": params, "batch_stats": batch_stats}, imgs)
+    else:
+        out, new_vars = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, train=True, mutable=["batch_stats"],
+        )
+        new_stats = new_vars["batch_stats"]
     loss, metrics = total_loss(out, tgts, cfg.train)
-    return loss, (metrics, new_vars["batch_stats"])
+    return loss, (metrics, new_stats)
 
 
 def make_train_step(model, cfg: Config, axis_name: str | None = None,
@@ -142,6 +149,13 @@ def make_train_step(model, cfg: Config, axis_name: str | None = None,
     mapped mesh axis (used by train.dp under shard_map). BatchNorm statistics
     sync inside the model via its own axis_name; the model passed here must
     have been built with ``bn_axis=axis_name`` in that case.
+
+    ``cfg.train.apply_impl == "fused"``: the train-mode forward/backward
+    runs with the full-res convs on the packed Mosaic kernels
+    (models/fused_train.py custom_vjp; NORTH-STAR "forward/backward lowers
+    to XLA/Pallas conv kernels"). The apply is built here so DP passes its
+    ``axis_name`` through for BN stat sync; shape support is validated at
+    first trace (fused_train_supported).
 
     ``grad_accum`` > 1 (VERDICT r2 #7): the batch's leading dim splits into
     that many microbatches run sequentially under ``lax.scan``, gradients
@@ -155,11 +169,21 @@ def make_train_step(model, cfg: Config, axis_name: str | None = None,
     to the unaccumulated step.
     """
 
+    apply_fn = None
+    if cfg.train.apply_impl == "fused":
+        from tpuseg.models.fused_train import make_fused_train_apply
+
+        apply_fn = make_fused_train_apply(model, axis_name=axis_name)
+    elif cfg.train.apply_impl != "flax":
+        raise ValueError(f"unknown TrainConfig.apply_impl "
+                         f"{cfg.train.apply_impl!r}")
+
     def grads_and_aux(state, batch, rng, offset):
         if grad_accum == 1:
             (_, (metrics, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, state.batch_stats, model, batch, cfg, rng, offset)
+            )(state.params, state.batch_stats, model, batch, cfg, rng, offset,
+              apply_fn)
             return grads, metrics, new_stats
 
         b = batch["image"].shape[0]
@@ -173,7 +197,8 @@ def make_train_step(model, cfg: Config, axis_name: str | None = None,
             mbatch, j = inp
             (_, (metrics, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, stats, model, mbatch, cfg, rng, offset + j * mb)
+            )(state.params, stats, model, mbatch, cfg, rng, offset + j * mb,
+              apply_fn)
             gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
             macc = jax.tree_util.tree_map(jnp.add, macc, metrics)
             return (new_stats, gacc, macc), None
@@ -183,7 +208,8 @@ def make_train_step(model, cfg: Config, axis_name: str | None = None,
         first = jax.tree_util.tree_map(lambda x: x[0], micro)
         # metrics tree STRUCTURE only — no compute
         _, (m_shape, _) = jax.eval_shape(
-            lambda p, s, b, r, o: loss_fn(p, s, model, b, cfg, r, o),
+            lambda p, s, b, r, o: loss_fn(p, s, model, b, cfg, r, o,
+                                          apply_fn),
             state.params, state.batch_stats, first, rng, offset)
         macc0 = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
