@@ -622,10 +622,28 @@ def stream_infer(
                 state["prev_overlap"] = np.where(
                     ov > 0, ov.astype(np.int64) + off, 0)
 
+    # multi-process (parallel/multihost.py): chunk outputs are GLOBAL
+    # arrays spanning non-addressable devices — gather them to every host
+    # before ingestion (each process keeps the full result buffer; the
+    # host finalize is process-local and identical everywhere). The
+    # replicated n_trunc scalar reads from the local shard.
+    multi = jax.process_count() > 1
+
+    def _fetch(a):
+        if not multi:
+            return np.asarray(a)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+    def _fetch_repl(a):
+        return np.asarray(a.addressable_shards[0].data) if multi \
+            else np.asarray(a)
+
     def process(ci, z0, z1, core_dev, overlap_dev, me_lo_dev, me_hi_dev,
                 ntr_dev):
         cz = z1 - z0
-        nt = int(np.asarray(ntr_dev))
+        nt = int(_fetch_repl(ntr_dev))
         if nt and stats is not None:
             # flood-cap truncation, summed over chunks (ext windows overlap,
             # so this upper-bounds the distinct voxel count; zero iff every
@@ -633,7 +651,7 @@ def stream_infer(
             stats["flood_truncated_voxels"] = (
                 stats.get("flood_truncated_voxels", 0) + nt)
         offset = np.int64(z0 - halo) * plane
-        core = np.asarray(core_dev)[:cz]                 # int32 LOCAL ids
+        core = _fetch(core_dev)[:cz]                     # int32 LOCAL ids
         result[z0:z1] = core                             # lifted at finalize
 
         core0_global = np.where(core[0] > 0, core[0].astype(np.int64) + offset, 0)
@@ -648,8 +666,8 @@ def stream_infer(
                                      prev_overlap[both].ravel()], axis=-1)
         # saddle-merge edges (ops/merge.py, r4): lifted to global ids like
         # everything else and unioned by the SAME finalize closure
-        ml = np.asarray(me_lo_dev)
-        mh = np.asarray(me_hi_dev)
+        ml = _fetch(me_lo_dev)
+        mh = _fetch(me_hi_dev)
         mv = ml != 2**31 - 1
         if mv.any():
             ge = np.stack([ml[mv].astype(np.int64) + offset,
@@ -658,7 +676,7 @@ def stream_infer(
         if edges_ci.size:
             edge_chunks.append(edges_ci)
         if halo > 0 and z1 < D:
-            nxt = np.asarray(overlap_dev)
+            nxt = _fetch(overlap_dev)
             state["prev_overlap"] = np.where(
                 nxt > 0, nxt.astype(np.int64) + offset, 0)
         else:
@@ -695,8 +713,9 @@ def stream_infer(
         ext_dev, mt, mb = nxt_up
         core_dev, overlap_dev, me_lo_dev, me_hi_dev, ntr_dev = chunk_fn(
             variables, ext_dev, lo_j, hi_j, mt, mb, fg_thr_j)
-        for a in (core_dev, overlap_dev, me_lo_dev, me_hi_dev, ntr_dev):
-            a.copy_to_host_async()
+        if not multi:  # async D2H pipelining needs addressable arrays
+            for a in (core_dev, overlap_dev, me_lo_dev, me_hi_dev, ntr_dev):
+                a.copy_to_host_async()
         # read + upload chunk N+1 while chunk N computes
         nxt_up = _upload(ci + 1) if ci + 1 < len(chunks) else None
         if pending is not None:
