@@ -95,7 +95,18 @@ def _conv_kernel(xp_hbm, B_hbm, out_hbm, xp_ring, out_buf, B_ref,
     """Grid (P, D). xp_hbm: (P*(D+4), ci, (rows+2)*wp) zero-padded
     planes/rows, pair-major; out_hbm: (P*D, co, rows*wp). One 3x3x3 SAME
     conv, raw (pre-norm) out. Leading dims arrive pre-flattened so every
-    HBM DMA indexes ONE dynamic dimension."""
+    HBM DMA indexes ONE dynamic dimension.
+
+    Channel-stacked ring (the r5 per-step-VPU fix): slot z%4 is a
+    (3ci, rows_in*wp) operand holding planes z, z+1, z+2 in its three
+    sublane bands — each incoming plane is DMA'd THREE times (once per
+    band/serving slot), so the K=3ci matmul reads a direct slice and the
+    per-strip channel CONCAT copies (measured ~10 us/step, the dominant
+    cost of the first version) disappear. 3x the HBM read traffic
+    (~1.6 MB/step) rides under compute. Every (slot, band) has its own
+    semaphore: a band is started exactly when its serving step exists and
+    waited exactly at that step — no DMA outlives its pair (the unwaited-
+    prefetch race in the first on-HW run wedged the chip)."""
     p = pl.program_id(0)
     z = pl.program_id(1)
     Rwp = R * wp
@@ -107,35 +118,40 @@ def _conv_kernel(xp_hbm, B_hbm, out_hbm, xp_ring, out_buf, B_ref,
         c.start()
         c.wait()
 
-    def copy_plane(plane, slot):
-        return pltpu.make_async_copy(
-            xp_hbm.at[p * (D + 4) + plane], xp_ring.at[slot],
-            dma_sems.at[slot])
+    def start_plane(q):
+        """Issue plane q's band DMAs — band j serves step q-j (slot
+        (q-j)%4, sublane band j*ci); guard each on that step existing."""
+        src = xp_hbm.at[p * (D + 4) + q]
+        for j in range(3):
+            @pl.when((q - j >= 0) & (q - j < D))
+            def _():
+                pltpu.make_async_copy(
+                    src,
+                    xp_ring.at[(q - j) % 4, pl.ds(j * ci, ci)],
+                    dma_sems.at[(q - j) % 4, j],
+                ).start()
 
     def out_dma(zz, slot):
         return pltpu.make_async_copy(
             out_buf.at[slot], out_hbm.at[p * D + zz], out_sems.at[slot])
 
-    # ---- input ring: planes z..z+2 resident, z+3 in flight ----
     @pl.when(z == 0)
     def _():
-        for q in range(3):
-            copy_plane(q, q).start()
-        for q in range(3):
-            copy_plane(q, q).wait()
-        copy_plane(3, 3).start()
+        for q in range(4):  # planes 0..2 for step 0/1/2 bands + prefetch 3
+            start_plane(q)
 
     @pl.when(z > 0)
     def _():
-        copy_plane(z + 2, (z + 2) % 4).wait()
-
-        # prefetch exactly the planes a later step will WAIT for (the last
-        # compute step z = D-1 reads planes up to D+1): an end-of-pair
-        # prefetch that nobody waits races the next pair's bootstrap
-        # overwriting its slot — this wedged the chip in the first on-HW run
-        @pl.when(z < D - 1)
+        @pl.when(z + 3 < D + 2)  # plane q has a serving step iff q-2 < D
         def _():
-            copy_plane(z + 3, (z + 3) % 4).start()
+            start_plane(z + 3)
+
+    # wait slot z%4's three bands (planes z, z+1, z+2)
+    for j in range(3):
+        pltpu.make_async_copy(
+            xp_hbm.at[0], xp_ring.at[z % 4, pl.ds(j * ci, ci)],
+            dma_sems.at[z % 4, j],
+        ).wait()
 
     @pl.when(z >= 2)
     def _():
@@ -147,24 +163,20 @@ def _conv_kernel(xp_hbm, B_hbm, out_hbm, xp_ring, out_buf, B_ref,
     lane = lax.broadcasted_iota(jnp.int32, (1, Rwp), 1) % W
     m_last = (lane != W - 1).astype(jnp.float32)
     m_first = (lane != 0).astype(jnp.float32)
-    s0, s1, s2 = z % 4, (z + 1) % 4, (z + 2) % 4
+    stacked = xp_ring.at[z % 4]
 
     for i in range(-(-rows // R)):
         t0 = min(i * R, rows - R)
-
-        def u(dy):
-            off = (t0 + dy) * wp
-            return jnp.concatenate(
-                [xp_ring[s0, :, pl.ds(off, Rwp)],
-                 xp_ring[s1, :, pl.ds(off, Rwp)],
-                 xp_ring[s2, :, pl.ds(off, Rwp)]], axis=0)  # (3ci, R*wp)
-
-        acc = lax.dot_general(B_ref[0], u(0), dn,
-                              preferred_element_type=jnp.float32)
-        acc += lax.dot_general(B_ref[1], u(1), dn,
-                               preferred_element_type=jnp.float32)
-        acc += lax.dot_general(B_ref[2], u(2), dn,
-                               preferred_element_type=jnp.float32)
+        acc = lax.dot_general(
+            B_ref[0], stacked[:, pl.ds(t0 * wp, Rwp)], dn,
+            preferred_element_type=jnp.float32)
+        acc += lax.dot_general(
+            B_ref[1], stacked[:, pl.ds((t0 + 1) * wp, Rwp)], dn,
+            preferred_element_type=jnp.float32)
+        acc += lax.dot_general(
+            B_ref[2], stacked[:, pl.ds((t0 + 2) * wp, Rwp)], dn,
+            preferred_element_type=jnp.float32)
+        # dx fold stays f32: Mosaic's rotate requires 32-bit data
         y = (pltpu.roll(acc[0:co] * m_last, 1, axis=1)
              + acc[co:2 * co]
              + pltpu.roll(acc[2 * co:3 * co] * m_first, Rwp - 1, axis=1))
@@ -223,10 +235,10 @@ def flat_conv3x3(x, w, *, valid_w: int, interpret: bool = False,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((P * D, co_pad, rows * wp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((4, ci, (rows + 2) * wp), dtype),
+            pltpu.VMEM((4, 3 * ci, (rows + 2) * wp), dtype),
             pltpu.VMEM((2, co_pad, rows * wp), dtype),
             pltpu.VMEM((3, 3 * ci, 3 * co_pad), dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4, 3)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((1,)),
         ],
@@ -301,8 +313,18 @@ def _conv_bwd(valid_w, interpret, compute_dtype, res, dy):
     dx = flat_conv3x3(dy, flip_w(w).astype(cd), valid_w=valid_w,
                       interpret=interpret,
                       compute_dtype=compute_dtype)[:, :, :x.shape[2]]
-    dw = _dw_taps(x.astype(cd), dy, x.shape[2], valid_w).astype(w.dtype)
-    return dx.astype(x.dtype), dw
+    # dw: XLA's native conv-gradient on the unpacked NDHWC tensors — the
+    # r5-profiled tap-dot formulation (_dw_taps, kept for tests/reference)
+    # spent ~5-11 ms/conv in roll/mask/pad copies; XLA's fused dw conv
+    # measures ~3.5-4.3 ms at the same shapes, and the two unpack
+    # relayouts are ~0.5 ms each
+    n = x.shape[0] * (LANE // valid_w)
+    x_nd = unpack2_w(x.astype(cd), n, valid_w)
+    dy_nd = unpack2_w(dy, n, valid_w)
+    _, vjp = jax.vjp(lambda w_: xla_conv3x3(x_nd, w_, dtype=cd),
+                     w.astype(cd))
+    dw, = vjp(dy_nd)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
 conv3x3_p2.defvjp(_conv_fwd, _conv_bwd)
