@@ -142,12 +142,13 @@ def main():
     print("warmup (compile)...", flush=True)
     stream_infer(model, cfg, variables, vol[:64], chunk_z=64, halo=16)
     print("streaming inference...", flush=True)
+    stats = {}
     t0 = time.perf_counter()
     # chunk_z 64 (r4): the saddle-merge transients on a (128, 1024, 1024)
     # extended chunk pushed the joint program over HBM (worker crash);
     # (96, 1024, 1024) ext chunks fit with margin
     labels = stream_infer(model, cfg, variables, vol, out=out, chunk_z=64,
-                          halo=16)
+                          halo=16, stats=stats)
     dt = time.perf_counter() - t0
     n = int(labels.max())
 
@@ -180,6 +181,8 @@ def main():
         "normalize_upper_pct": round(adaptive_upper_pct(frac), 4),
         "chunk_z": 64,
         "halo": 16,
+        "stats": stats,  # stage seconds + flood_truncated_voxels (r5:
+                         # the real-chip-visible convergence channel)
         "device": str(jax.devices()[0]),
         "host_label_buffer": "int32 memmap (4 B/voxel); no full-volume int64",
     }
