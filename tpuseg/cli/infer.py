@@ -53,6 +53,11 @@ def main(argv=None):
     p.add_argument("--stream-shard", type=int, default=0, metavar="N",
                    help="with --stream: shard each z-chunk over y across N "
                         "devices (streamed x sharded composition)")
+    p.add_argument("--report-convergence", action="store_true",
+                   help="report the watershed flood-truncation count "
+                        "(nonzero means PostprocConfig.flood_iters cut the "
+                        "fixed point short; computed in-program, works on "
+                        "every backend); nonzero exits with status 4")
     p.add_argument("--validate", action="store_true",
                    help="check the output invariant that every instance is "
                         "one 6-connected component (ops.label_components)")
@@ -124,11 +129,14 @@ def main(argv=None):
                 else args.output + ".partial.npy",
                 mode="r+" if _exists_with_shape(args, volume.shape)
                 else "w+", dtype=np.int32, shape=volume.shape)
+        stream_stats = {}
         labels = stream_infer(model, cfg, variables, volume,
                               chunk_z=args.stream, out=out,
                               normalize=not args.no_normalize,
                               mesh=mesh,
-                              resume_dir=args.resume_dir or None)
+                              resume_dir=args.resume_dir or None,
+                              stats=stream_stats)
+        n_trunc = stream_stats.get("flood_truncated_voxels", 0)
     elif args.shard:
         import re
 
@@ -160,9 +168,28 @@ def main(argv=None):
         # compile time, and the flagship single-tile/auto program only
         # compiles bound (see infer/pipeline.py make_infer_fn)
         infer = make_infer_fn(model, cfg, normalize=not args.no_normalize,
-                              bind_variables=variables)
-        labels = np.asarray(infer(jnp.asarray(volume)))
+                              bind_variables=variables,
+                              with_diagnostics=args.report_convergence)
+        if args.report_convergence:
+            labels, diag = infer(jnp.asarray(volume))
+            labels = np.asarray(labels)
+            n_trunc = int(diag["flood_truncated"])
+        else:
+            labels = np.asarray(infer(jnp.asarray(volume)))
     dt = time.perf_counter() - t0
+
+    trunc_exit = False
+    if args.report_convergence:
+        if args.shard:
+            print("--report-convergence: not wired for --shard "
+                  "(use --stream or single-device)")
+        else:
+            status = "CONVERGED" if n_trunc == 0 else "TRUNCATED"
+            print(f"flood convergence: {status} "
+                  f"({n_trunc} truncated voxels — raise "
+                  "postproc.flood_iters)" if n_trunc else
+                  f"flood convergence: {status} (0 truncated voxels)")
+            trunc_exit = n_trunc > 0
 
     if args.validate:
         from tpuseg.ops.components import labels_are_connected
@@ -184,6 +211,10 @@ def main(argv=None):
     mvox = volume.size / 1e6
     print(f"{args.input}: {volume.shape} -> {n} instances "
           f"in {dt:.2f}s ({mvox / dt:.2f} Mvox/s incl. compile) -> {args.output}")
+    if trunc_exit:
+        # labels are saved above (still useful); the nonzero status makes
+        # truncation visible to pipelines/scripts
+        raise SystemExit(4)
 
 
 if __name__ == "__main__":
